@@ -1,0 +1,33 @@
+"""hoshizora_spark — a PySpark-native link-graph analytics engine.
+
+A from-scratch reimagining of hoshizora (single-node C++ GAS engine,
+/root/reference) on Apache Spark: PageRank, connected components, label
+propagation, and triangle counting over edge tables derived from a
+source-code corpus, expressed as DataFrame joins/aggregations plus
+vectorized Arrow UDFs, with per-superstep checkpointing and skew-aware
+partitioning.
+"""
+
+from hoshizora_spark.graph.core import Graph, edges_from_pairs, symmetrize
+from hoshizora_spark.algorithms.pagerank import pagerank, top_k
+from hoshizora_spark.algorithms.components import connected_components
+from hoshizora_spark.algorithms.labelprop import label_propagation
+from hoshizora_spark.algorithms.triangles import triangle_counts, triangle_total
+from hoshizora_spark.runtime.checkpoint import CheckpointManager
+from hoshizora_spark.session import get_spark
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Graph",
+    "edges_from_pairs",
+    "symmetrize",
+    "pagerank",
+    "top_k",
+    "connected_components",
+    "label_propagation",
+    "triangle_counts",
+    "triangle_total",
+    "CheckpointManager",
+    "get_spark",
+]

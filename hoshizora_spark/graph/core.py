@@ -1,0 +1,88 @@
+"""Graph abstraction: an edge DataFrame over a dense int64 vertex domain.
+
+The reference engine (hoshizora) stores a directed graph as CSR+CSC over a
+dense 0-based vertex domain inferred as ``max(id)+1`` with multi-edges kept
+(``/root/reference/src/hoshizora/core/graph.h:439-547``). Our logical
+representation is simply ``edges(src: long, dst: long)`` — Catalyst owns the
+physical strategy; the CSR-block fast path (``hoshizora_spark.graph.csr``)
+is an opt-in physical layout behind the same algorithms.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import cached_property
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EDGE_COLS = ("src", "dst")
+
+
+def edges_from_pairs(spark: SparkSession, pairs: list[tuple[int, int]]) -> DataFrame:
+    """Tiny-fixture helper: build an edge DataFrame from Python pairs."""
+    return spark.createDataFrame(
+        [(int(s), int(d)) for s, d in pairs], schema="src long, dst long"
+    )
+
+
+def symmetrize(edges: DataFrame, dedup: bool = True, drop_loops: bool = True) -> DataFrame:
+    """Undirected view: src↔dst union. Used by CC / LPA / triangles.
+
+    Mirrors the reference's in-edge dedup (``core/graph.h:574-590`` uses a
+    std::set when building from adjacency lists) for the algorithms whose
+    semantics are defined on simple undirected graphs.
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    if drop_loops:
+        sym = sym.filter(F.col("src") != F.col("dst"))
+    if dedup:
+        sym = sym.distinct()
+    return sym
+
+
+@dataclass(frozen=True)
+class Graph:
+    """Directed multigraph over a dense vertex domain ``0..num_vertices-1``.
+
+    ``num_vertices`` follows the reference rule ``max(max(src), max(dst)) + 1``
+    (``core/graph.h:453-455``): ids below the max with no incident edges are
+    real, isolated vertices.
+    """
+
+    edges: DataFrame  # (src: long, dst: long); multi-edges kept
+    num_vertices: int
+
+    @staticmethod
+    def from_edges(edges: DataFrame, num_vertices: int | None = None) -> "Graph":
+        edges = edges.select(
+            F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+        )
+        if num_vertices is None:
+            row = edges.agg(
+                F.max(F.greatest(F.col("src"), F.col("dst"))).alias("mx")
+            ).first()
+            num_vertices = int(row["mx"]) + 1 if row and row["mx"] is not None else 0
+        return Graph(edges=edges, num_vertices=num_vertices)
+
+    @property
+    def spark(self) -> SparkSession:
+        return self.edges.sparkSession
+
+    def vertices(self) -> DataFrame:
+        """The dense vertex domain as a DataFrame (vid: long)."""
+        return self.spark.range(self.num_vertices).select(F.col("id").alias("vid"))
+
+    @cached_property
+    def out_degrees(self) -> DataFrame:
+        """(src: long, out_deg: long) — only vertices with out-edges appear."""
+        return self.edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+
+    @cached_property
+    def in_degrees(self) -> DataFrame:
+        return self.edges.groupBy("dst").agg(F.count(F.lit(1)).alias("in_deg"))
+
+    def undirected(self) -> DataFrame:
+        return symmetrize(self.edges)

@@ -1,0 +1,151 @@
+"""Independent NumPy oracle for the four graph algorithms.
+
+Implements the reference semantics exactly (SURVEY.md §2.4, citing
+/root/reference/src/hoshizora/app/pagerank.h and app/apps.h), written
+against dense arrays so it shares no code path with the Spark engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _edge_arrays(edges: list[tuple[int, int]]) -> tuple[np.ndarray, np.ndarray]:
+    if not edges:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    arr = np.asarray(edges, dtype=np.int64)
+    return arr[:, 0], arr[:, 1]
+
+
+def num_vertices_of(edges: list[tuple[int, int]]) -> int:
+    """Reference rule: dense domain 0..max_id (core/graph.h:453-455)."""
+    if not edges:
+        return 0
+    return int(max(max(s, d) for s, d in edges)) + 1
+
+
+def pagerank(
+    edges: list[tuple[int, int]],
+    num_vertices: int | None = None,
+    tol: float | None = 1e-6,
+    max_iters: int = 10_000,
+) -> np.ndarray:
+    """Reference PageRank (app/pagerank.h:9-51):
+
+    - init rank = 1.0 (NOT 1/N)
+    - msg per edge = rank[src] / out_degree[src]; multi-edges each send
+    - new = 0.85 * sum(in msgs) + 0.15 / N; no-in-edge vertices get 0.15/N
+    - NO dangling-mass redistribution (mass leaks at sinks)
+    - stop when max|new - old| <= tol (or after max_iters)
+    """
+    V = num_vertices_of(edges) if num_vertices is None else num_vertices
+    src, dst = _edge_arrays(edges)
+    out_deg = np.zeros(V, dtype=np.float64)
+    np.add.at(out_deg, src, 1.0)
+    safe_deg = np.where(out_deg > 0, out_deg, 1.0)
+    rank = np.ones(V, dtype=np.float64)
+    base = 0.15 / V if V else 0.0
+    for _ in range(max_iters):
+        contrib = rank[src] / safe_deg[src]
+        acc = np.zeros(V, dtype=np.float64)
+        np.add.at(acc, dst, contrib)
+        new = 0.85 * acc + base
+        delta = float(np.max(np.abs(new - rank))) if V else 0.0
+        rank = new
+        if tol is not None and delta <= tol:
+            break
+    return rank
+
+
+def _undirected_simple(edges: list[tuple[int, int]]) -> set[tuple[int, int]]:
+    """Dedup + drop self-loops + canonicalize (lo, hi)."""
+    out = set()
+    for s, d in edges:
+        if s == d:
+            continue
+        out.add((min(s, d), max(s, d)))
+    return out
+
+
+def connected_components(
+    edges: list[tuple[int, int]], num_vertices: int | None = None
+) -> np.ndarray:
+    """Union-find; component label = min vertex id in the component.
+
+    Matches the min-label propagation fixed point (app/clustering_louvain.h:70
+    min-id tiebreak + app/apps.h:100-110 pointer jumping).
+    """
+    V = num_vertices_of(edges) if num_vertices is None else num_vertices
+    parent = np.arange(V, dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in _undirected_simple(edges):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = np.fromiter((find(i) for i in range(V)), dtype=np.int64, count=V)
+    return labels
+
+
+def label_propagation(
+    edges: list[tuple[int, int]],
+    num_vertices: int | None = None,
+    max_rounds: int = 20,
+) -> np.ndarray:
+    """Synchronous LPA over the undirected simple graph.
+
+    init label = vid; each round every vertex with >=1 neighbor adopts the
+    most frequent neighbor label, ties broken by min label (the reference's
+    deterministic min-id tiebreak, app/clustering_louvain.h:66-75).
+    Stops at fixpoint or after max_rounds (sync LPA can 2-cycle).
+    """
+    V = num_vertices_of(edges) if num_vertices is None else num_vertices
+    und = _undirected_simple(edges)
+    nbrs: list[list[int]] = [[] for _ in range(V)]
+    for a, b in und:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    labels = np.arange(V, dtype=np.int64)
+    for _ in range(max_rounds):
+        new = labels.copy()
+        for v in range(V):
+            if not nbrs[v]:
+                continue
+            counts: dict[int, int] = {}
+            for u in nbrs[v]:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            new[v] = best
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    return labels
+
+
+def triangle_counts(
+    edges: list[tuple[int, int]], num_vertices: int | None = None
+) -> np.ndarray:
+    """Per-vertex triangle counts over the undirected simple graph."""
+    V = num_vertices_of(edges) if num_vertices is None else num_vertices
+    und = _undirected_simple(edges)
+    adj: list[set[int]] = [set() for _ in range(V)]
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    counts = np.zeros(V, dtype=np.int64)
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            if a < b < c:
+                counts[a] += 1
+                counts[b] += 1
+                counts[c] += 1
+    return counts
+
+
+def triangle_total(edges: list[tuple[int, int]], num_vertices: int | None = None) -> int:
+    return int(triangle_counts(edges, num_vertices).sum()) // 3
