@@ -9,7 +9,8 @@ partitioning.
 """
 
 from hoshizora_spark.graph.core import Graph, edges_from_pairs, symmetrize
-from hoshizora_spark.algorithms.pagerank import pagerank, top_k
+from hoshizora_spark.graph.csr import CsrBlocks, build_csr_blocks
+from hoshizora_spark.algorithms.pagerank import pagerank, pagerank_csr, top_k
 from hoshizora_spark.algorithms.components import connected_components
 from hoshizora_spark.algorithms.labelprop import label_propagation
 from hoshizora_spark.algorithms.triangles import triangle_counts, triangle_total
@@ -20,9 +21,12 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Graph",
+    "CsrBlocks",
+    "build_csr_blocks",
     "edges_from_pairs",
     "symmetrize",
     "pagerank",
+    "pagerank_csr",
     "top_k",
     "connected_components",
     "label_propagation",

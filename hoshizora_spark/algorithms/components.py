@@ -16,14 +16,14 @@ Per round (SURVEY.md §2.3 A2):
 
 from __future__ import annotations
 
-import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hoshizora_spark.graph.core import Graph, symmetrize
+from hoshizora_spark.graph.core import Graph, maybe_broadcast, symmetrize
 from hoshizora_spark.runtime.checkpoint import CheckpointManager
+from hoshizora_spark.runtime.superstep import bsp_loop
 
 
 @dataclass
@@ -40,71 +40,56 @@ def connected_components(
     max_rounds: int = 50,
     checkpoint: CheckpointManager | None = None,
     resume: bool = False,
+    broadcast_vertices: int = 5_000_000,
 ) -> ComponentsResult:
     spark = graph.spark
+    V = graph.num_vertices
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    sym = symmetrize(graph.edges).repartition(n_part, "dst").persist()
+    sym = symmetrize(graph.edges).repartition(n_part, "src").persist()
 
-    start = 0
-    if resume and checkpoint is not None and checkpoint.latest_iter() is not None:
-        start = checkpoint.latest_iter() + 1
-        labels = checkpoint.load_state(spark, start - 1).select("vid", "label")
-    else:
-        labels = graph.vertices().withColumn("label", F.col("vid"))
-        labels = labels.localCheckpoint(eager=True)
-
-    changed_hist: list[int] = []
-    walls: list[float] = []
-    converged = False
-    rounds = 0
-    for it in range(start, max_rounds):
-        t0 = time.perf_counter()
+    def step(labels: DataFrame, it: int) -> DataFrame:
         # 1. min neighbor label flowing along every (undirected) edge into dst
-        nbr_min = (
-            sym.join(labels.select(F.col("vid").alias("src"), "label"), "src")
-            .groupBy("dst")
-            .agg(F.min("label").alias("nbr_label"))
+        lbl_src = maybe_broadcast(
+            labels.select(F.col("vid").alias("src"), "label"), V, broadcast_vertices
         )
-        prop = (
-            labels.join(nbr_min, labels.vid == nbr_min.dst, "left")
-            .select(
-                "vid",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
-                    "plabel"
-                ),
-                F.col("label").alias("old_label"),
-            )
+        nbr_min = sym.join(lbl_src, "src").groupBy("dst").agg(F.min("label").alias("nbr_label"))
+        nbr_min = maybe_broadcast(nbr_min, V, broadcast_vertices)
+        prop = labels.join(nbr_min, labels.vid == nbr_min.dst, "left").select(
+            "vid",
+            F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                "plabel"
+            ),
+            F.col("label").alias("old_label"),
         )
         # 2. pointer jumping: label[v] <- label[label[v]]  (apps.h:100-110)
-        hop = prop.select(F.col("vid").alias("jvid"), F.col("plabel").alias("jlabel"))
-        nxt = (
-            prop.join(hop, prop.plabel == hop.jvid, "left")
-            .select(
-                "vid",
-                F.coalesce(F.col("jlabel"), F.col("plabel")).alias("label"),
-                "old_label",
-            )
+        hop = maybe_broadcast(
+            prop.select(F.col("vid").alias("jvid"), F.col("plabel").alias("jlabel")),
+            V,
+            broadcast_vertices,
         )
-        if checkpoint is not None:
-            nxt = checkpoint.save_state(it, nxt)
-        else:
-            nxt = nxt.localCheckpoint(eager=True)
-        changed = nxt.filter(F.col("label") != F.col("old_label")).count()
-        wall_ms = (time.perf_counter() - t0) * 1000.0
-        changed_hist.append(changed)
-        walls.append(wall_ms)
-        if checkpoint is not None:
-            checkpoint.append_metrics(spark, it, -1, wall_ms, None, changed)
-        labels = nxt.select("vid", "label")
-        rounds = it - start + 1
-        if changed == 0:
-            converged = True
-            break
+        return prop.join(hop, prop.plabel == hop.jvid, "left").select(
+            "vid",
+            F.coalesce(F.col("jlabel"), F.col("plabel")).alias("label"),
+            "old_label",
+        )
+
+    res = bsp_loop(
+        spark,
+        init=lambda: graph.vertices().withColumn("label", F.col("vid")),
+        step=step,
+        stat=lambda nxt: float(nxt.filter(F.col("label") != F.col("old_label")).count()),
+        done=lambda changed: changed == 0,
+        restore=lambda df: df.select("vid", "label"),
+        max_iters=max_rounds,
+        checkpoint=checkpoint,
+        resume=resume,
+        metric_kind="changed",
+    )
     sym.unpersist()
     return ComponentsResult(
-        labels=labels,
-        rounds=rounds,
-        converged=converged,
-        changed_per_round=changed_hist,
-        wall_ms_per_round=walls,
+        labels=res.state,
+        rounds=res.iterations,
+        converged=res.converged,
+        changed_per_round=[int(c) for c in res.stats],
+        wall_ms_per_round=res.wall_ms,
     )

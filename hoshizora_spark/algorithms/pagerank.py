@@ -15,27 +15,29 @@ Semantics replicated from /root/reference/src/hoshizora/app/pagerank.h:9-51
 The reference runs a fixed ``num_iters`` (default 50, pybind.cpp:14); the
 target rule adds convergence ``max|Δrank| ≤ tol``. Both are supported.
 
-Physical plan per superstep (one shuffle round + one scalar action):
+Two physical paths behind one semantic:
 
-  ranks ⋈ ew on src  →  partial hash agg on dst (map-side combine)  →
-  final agg  →  left join back onto the persistent vertex frame  →
-  localCheckpoint/parquet checkpoint (cuts lineage)  →  max|Δ| action.
-
-Multi-edges are pre-aggregated into a per-(src,dst) multiplicity at build
-time, so the per-superstep join touches each distinct edge once — the same
-work-saving the reference gets from its static CSR layout.
+* ``pagerank``       — pure DataFrame: ranks ⋈ edges → partial+final hash
+  agg on dst → apply-project. Broadcasts the rank side when V is small so
+  the persisted edge table never re-shuffles.
+* ``pagerank_csr``   — CSR-block GAS path (runtime/gas.py): numpy
+  gather-scatter + per-block partial fold inside ``applyInPandas``; the
+  only big exchange per superstep carries ≤ num_blocks rows per distinct
+  dst (inherent skew mitigation for hot vertices).
 """
 
 from __future__ import annotations
 
-import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hoshizora_spark.graph.core import Graph
+from hoshizora_spark.graph.core import Graph, maybe_broadcast
+from hoshizora_spark.graph.csr import CsrBlocks, build_csr_blocks
 from hoshizora_spark.runtime.checkpoint import CheckpointManager
+from hoshizora_spark.runtime.gas import gas_step, init_state
+from hoshizora_spark.runtime.superstep import bsp_loop
 
 DAMPING = 0.85
 JUMP = 0.15
@@ -67,7 +69,16 @@ def pagerank(
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 1,
     resume: bool = False,
+    broadcast_vertices: int = 5_000_000,
 ) -> PageRankResult:
+    """Pure-DataFrame path.
+
+    ``broadcast_vertices``: if V is at or below this, the rank table is
+    broadcast into the message join so the (persisted, pre-partitioned)
+    edge side never re-shuffles; the only exchange per superstep is the
+    partial+final message aggregation. Above it (cluster scale) the join
+    falls back to shuffle-hash on the co-partitioned ``src`` key.
+    """
     spark = graph.spark
     V = graph.num_vertices
     if V == 0:
@@ -82,63 +93,115 @@ def pagerank(
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ew = ew.repartition(n_part, "src").persist()
 
-    start_iter = 0
-    if resume and checkpoint is not None and checkpoint.latest_iter() is not None:
-        start_iter = checkpoint.latest_iter() + 1
-        ranks = checkpoint.load_state(spark, start_iter - 1).select(
-            "vid", F.col("new_rank").alias("rank")
+    def step(ranks: DataFrame, it: int) -> DataFrame:
+        rank_src = maybe_broadcast(
+            ranks.select(F.col("vid").alias("src"), "rank"), V, broadcast_vertices
         )
-    else:
-        ranks = graph.vertices().withColumn("rank", F.lit(1.0))
-        ranks = ranks.localCheckpoint(eager=True)
-
-    deltas: list[float] = []
-    walls: list[float] = []
-    converged = False
-    it = start_iter
-    for it in range(start_iter, max_iters):
-        t0 = time.perf_counter()
         msgs = (
-            ew.join(ranks.select(F.col("vid").alias("src"), "rank"), "src")
+            ew.join(rank_src, "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("acc"))
         )
-        nxt = (
-            ranks.join(msgs, ranks.vid == msgs.dst, "left")
-            .select(
-                "vid",
-                (F.lit(DAMPING) * F.coalesce(F.col("acc"), F.lit(0.0)) + F.lit(base)).alias(
-                    "new_rank"
-                ),
-                F.col("rank").alias("old_rank"),
-            )
+        msgs = maybe_broadcast(msgs, V, broadcast_vertices)
+        return ranks.join(msgs, ranks.vid == msgs.dst, "left").select(
+            "vid",
+            (F.lit(DAMPING) * F.coalesce(F.col("acc"), F.lit(0.0)) + F.lit(base)).alias(
+                "new_rank"
+            ),
+            F.col("rank").alias("old_rank"),
         )
-        if checkpoint is not None and (it % checkpoint_every == 0 or it == max_iters - 1):
-            nxt = checkpoint.save_state(it, nxt)
-        else:
-            nxt = nxt.localCheckpoint(eager=True)
-        delta = nxt.agg(F.max(F.abs(F.col("new_rank") - F.col("old_rank")))).first()[0]
-        delta = float(delta) if delta is not None else 0.0
-        wall_ms = (time.perf_counter() - t0) * 1000.0
-        deltas.append(delta)
-        walls.append(wall_ms)
-        if checkpoint is not None:
-            checkpoint.append_metrics(spark, it, num_msg_edges, wall_ms, delta, None)
-        ranks = nxt.select("vid", F.col("new_rank").alias("rank"))
-        if tol is not None and delta <= tol:
-            converged = True
-            it += 1
-            break
-    else:
-        it = max_iters
+
+    res = bsp_loop(
+        spark,
+        init=lambda: graph.vertices().withColumn("rank", F.lit(1.0)),
+        step=step,
+        stat=lambda nxt: float(
+            nxt.agg(F.max(F.abs(F.col("new_rank") - F.col("old_rank")))).first()[0] or 0.0
+        ),
+        done=lambda d: tol is not None and d <= tol,
+        restore=lambda df: df.select("vid", F.col("new_rank").alias("rank")),
+        max_iters=max_iters,
+        checkpoint=checkpoint,
+        checkpoint_every=checkpoint_every,
+        resume=resume,
+        edges_per_iter=num_msg_edges,
+        metric_kind="delta",
+    )
     ew.unpersist()
     return PageRankResult(
-        ranks=ranks,
-        iterations=it - start_iter,
-        converged=converged,
-        deltas=deltas,
+        ranks=res.state,
+        iterations=res.iterations,
+        converged=res.converged,
+        deltas=res.stats,
         edges_processed_per_iter=num_msg_edges,
-        wall_ms_per_iter=walls,
+        wall_ms_per_iter=res.wall_ms,
+    )
+
+
+class PageRankKernel:
+    """GAS form of app/pagerank.h:9-51, vectorized (runtime/gas.py)."""
+
+    combine = "sum"
+    state_type = "double"
+
+    def __init__(self, num_vertices: int) -> None:
+        self.base = JUMP / num_vertices
+
+    def init_expr(self, vid):
+        return F.lit(1.0)  # pagerank.h:17-20 (NOT 1/N)
+
+    def scatter_gather(self, src_vals, weights):
+        return src_vals * weights  # rank/out_deg per edge entry (pagerank.h:22-24)
+
+    def apply_expr(self, vid, prev, acc):
+        return F.lit(DAMPING) * F.coalesce(acc, F.lit(0.0)) + F.lit(self.base)
+
+
+def pagerank_csr(
+    graph: Graph,
+    csr: CsrBlocks | None = None,
+    tol: float | None = 1e-6,
+    max_iters: int = 200,
+    checkpoint: CheckpointManager | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+) -> PageRankResult:
+    """CSR-block GAS path — same fixed point, hoshizora-style execution."""
+    spark = graph.spark
+    V = graph.num_vertices
+    if V == 0:
+        return PageRankResult(ranks=graph.vertices().withColumn("rank", F.lit(0.0)),
+                              iterations=0, converged=True)
+    own_csr = csr is None
+    if csr is None:
+        csr = build_csr_blocks(graph)
+    kernel = PageRankKernel(V)
+
+    res = bsp_loop(
+        spark,
+        init=lambda: init_state(csr, kernel),
+        step=lambda state, it: gas_step(csr, state, kernel),
+        stat=lambda nxt: float(
+            nxt.agg(F.max(F.abs(F.col("new_val") - F.col("old_val")))).first()[0] or 0.0
+        ),
+        done=lambda d: tol is not None and d <= tol,
+        restore=lambda df: df.select("vid", F.col("new_val").alias("val")),
+        max_iters=max_iters,
+        checkpoint=checkpoint,
+        checkpoint_every=checkpoint_every,
+        resume=resume,
+        edges_per_iter=csr.num_edges,
+        metric_kind="delta",
+    )
+    if own_csr:
+        csr.unpersist()
+    return PageRankResult(
+        ranks=res.state.select("vid", F.col("val").alias("rank")),
+        iterations=res.iterations,
+        converged=res.converged,
+        deltas=res.stats,
+        edges_processed_per_iter=csr.num_edges,
+        wall_ms_per_iter=res.wall_ms,
     )
 
 

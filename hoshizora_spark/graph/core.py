@@ -43,6 +43,18 @@ def symmetrize(edges: DataFrame, dedup: bool = True, drop_loops: bool = True) ->
     return sym
 
 
+def maybe_broadcast(df: DataFrame, num_rows: int, threshold: int) -> DataFrame:
+    """Broadcast-hint ``df`` when its row count is known to be small.
+
+    Per-superstep joins of a V-row state table against an E-row edge table
+    should broadcast the state side whenever V is cluster-broadcastable —
+    the persisted, pre-partitioned edge side then never re-shuffles. At
+    link-graph scale (V ~ 10^12) the hint is skipped and Catalyst uses a
+    shuffle-hash join on the co-partitioned key instead.
+    """
+    return F.broadcast(df) if num_rows <= threshold else df
+
+
 @dataclass(frozen=True)
 class Graph:
     """Directed multigraph over a dense vertex domain ``0..num_vertices-1``.

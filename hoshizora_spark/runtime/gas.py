@@ -1,0 +1,141 @@
+"""Vectorized Gather-Apply-Scatter over CSR blocks (the Kernel extension point).
+
+The reference's only user extension surface is the ``Kernel`` virtual class
+(/root/reference/src/hoshizora/core/kernel.h:7-29): per-vertex ``init``,
+per-out-edge ``scatter``, per-in-edge ``gather``, per-dst monoid
+``zero``+``sum``, per-vertex ``apply`` — executed scalar, one virtual call
+per element (bulksync_gas_executor.h:179-235). Here the same protocol is
+**vectorized**: each hook takes/returns numpy arrays over one CSR block's
+Arrow batch, so Python runs a handful of numpy kernels per block per
+superstep instead of per-element calls — the SIMD execution the reference
+aspired to (core/colle.h:17 "TODO: SIMD-aware").
+
+Execution of one superstep (2 exchanges total, vs the reference's 5
+barriers — scatter/gather fuse into one numpy pass, sum is split into an
+in-block partial fold + a final shuffle agg):
+
+  1. route state rows to their owning block (``block_id_of``)
+  2. cogroup(blocks, state) → ``applyInPandas``:
+       gather src values per edge (np.repeat over CSR offsets),
+       msgs = kernel.scatter_gather(src_vals, weights),
+       per-block partial fold by dst (np.bincount / ufunc.at)
+       → (dst, acc) rows, ≤ distinct-dst-per-block of them
+  3. final fold: groupBy(dst).agg(sum|min|max)   [the only big shuffle;
+     partial folding bounds any hot vertex's fan-in at num_blocks rows —
+     built-in skew mitigation, no salting needed on this path]
+  4. apply: state ⋈ acc (broadcast when V is small) → Column expression
+
+The per-block partial fold is the distributed replacement for the
+reference's ``forward_indices`` static permutation (graph.h:354-388): the
+exchange delivers messages pre-grouped by dst, Spark's shuffle plays the
+role of the permutation.
+"""
+
+from __future__ import annotations
+
+from typing import Protocol
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hoshizora_spark.graph.core import maybe_broadcast
+from hoshizora_spark.graph.csr import CsrBlocks
+
+_COMBINES = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+class VectorKernel(Protocol):
+    """Vectorized GAS kernel (numpy in, numpy out). Mirrors core/kernel.h."""
+
+    combine: str  # 'sum' | 'min' | 'max' — the zero+sum monoid
+    state_type: str  # Spark type of the vertex state column, e.g. 'double'
+
+    def init_expr(self, vid: Column) -> Column:
+        """Iteration-0 state (kernel.h:12 ``init``)."""
+        ...
+
+    def scatter_gather(self, src_vals: np.ndarray, weights: np.ndarray) -> np.ndarray:
+        """Per-edge message from gathered src state (kernel.h:14-18
+        ``scatter``+``gather`` fused — both are per-edge maps)."""
+        ...
+
+    def apply_expr(self, vid: Column, prev: Column, acc: Column) -> Column:
+        """New state from (prev, folded acc); acc is NULL when no message
+        arrived (kernel.h:20-26 ``zero``/``apply``)."""
+        ...
+
+
+def _partial_fold(combine: str, dst: np.ndarray, msgs: np.ndarray):
+    uniq, inv = np.unique(dst, return_inverse=True)
+    if combine == "sum":
+        acc = np.bincount(inv, weights=msgs, minlength=len(uniq))
+    elif combine == "min":
+        acc = np.full(len(uniq), np.inf)
+        np.minimum.at(acc, inv, msgs)
+    elif combine == "max":
+        acc = np.full(len(uniq), -np.inf)
+        np.maximum.at(acc, inv, msgs)
+    else:
+        raise ValueError(f"unknown combine {combine!r}")
+    return uniq, acc
+
+
+def gas_messages(csr: CsrBlocks, state: DataFrame, kernel: VectorKernel) -> DataFrame:
+    """(dst, acc) after the full fold — steps 1-3 above.
+
+    ``state`` must be (vid: long, val: state_type) covering every vertex.
+    """
+    st = state.withColumn("block_id", csr.block_id_of(F.col("vid")))
+
+    def run_block(key, blocks_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
+        if blocks_pdf.empty:
+            return pd.DataFrame({"dst": pd.Series([], dtype="int64"),
+                                 "acc": pd.Series([], dtype="float64")})
+        row = blocks_pdf.iloc[0]
+        lo, hi = int(row["lo"]), int(row["hi"])
+        offsets = np.asarray(row["offsets"], dtype=np.int64)
+        indices = np.asarray(row["indices"], dtype=np.int64)
+        weights = np.asarray(row["weights"], dtype=np.float64)
+        vals = np.zeros(hi - lo, dtype=np.float64)
+        vids = state_pdf["vid"].to_numpy(np.int64)
+        vals[vids - lo] = state_pdf["val"].to_numpy(np.float64)
+        # gather: src value per edge, in CSR order (np.repeat over degrees)
+        src_vals = np.repeat(vals, np.diff(offsets))
+        msgs = kernel.scatter_gather(src_vals, weights)
+        uniq, acc = _partial_fold(kernel.combine, indices, msgs)
+        return pd.DataFrame({"dst": uniq, "acc": acc})
+
+    partial = (
+        csr.blocks.groupby("block_id")
+        .cogroup(st.groupby("block_id"))
+        .applyInPandas(run_block, schema="dst long, acc double")
+    )
+    agg = _COMBINES[kernel.combine]
+    return partial.groupBy("dst").agg(agg("acc").alias("acc"))
+
+
+def gas_step(
+    csr: CsrBlocks,
+    state: DataFrame,
+    kernel: VectorKernel,
+    broadcast_vertices: int = 5_000_000,
+) -> DataFrame:
+    """One full superstep: returns (vid, new_val, old_val)."""
+    acc = gas_messages(csr, state, kernel)
+    acc_b = maybe_broadcast(acc, csr.num_vertices, broadcast_vertices)
+    joined = state.join(acc_b, state.vid == acc_b.dst, "left")
+    return joined.select(
+        "vid",
+        kernel.apply_expr(F.col("vid"), F.col("val"), F.col("acc")).alias("new_val"),
+        F.col("val").alias("old_val"),
+    )
+
+
+def init_state(csr: CsrBlocks, kernel: VectorKernel) -> DataFrame:
+    spark = csr.blocks.sparkSession
+    return spark.range(csr.num_vertices).select(
+        F.col("id").alias("vid"),
+        kernel.init_expr(F.col("id")).cast(kernel.state_type).alias("val"),
+    )

@@ -25,6 +25,15 @@ def get_spark(
     ``shuffle_partitions`` defaults to the core count — on a real cluster
     you would set this to 2-3x total executor cores instead.
     """
+    # Python workers (pandas UDFs) must import this package; in local mode they
+    # inherit the env, so pin the repo root onto PYTHONPATH before they spawn.
+    # On a real cluster the same is done with spark-submit --py-files.
+    from pathlib import Path
+
+    pkg_root = str(Path(__file__).resolve().parent.parent)
+    if pkg_root not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
         master = f"local[{cpus}]"
@@ -45,6 +54,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():

@@ -1,0 +1,58 @@
+"""Checkpoint/resume: stop after k supersteps, resume, identical results.
+
+North_rule: "resumable from checkpoint with per-partition lineage + metrics".
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hoshizora_spark import (
+    CheckpointManager,
+    Graph,
+    connected_components,
+    edges_from_pairs,
+    pagerank,
+)
+from tests.fixtures import ALL_FIXTURES
+
+
+def _ranks_array(res, n):
+    rows = {r["vid"]: r["rank"] for r in res.ranks.collect()}
+    return np.array([rows[i] for i in range(n)])
+
+
+def test_pagerank_resume_identical(spark, tmp_path):
+    g = Graph.from_edges(edges_from_pairs(spark, ALL_FIXTURES["g6_powerlaw"]))
+    full = pagerank(g, tol=1e-8, max_iters=200)
+    want = _ranks_array(full, g.num_vertices)
+
+    ck = CheckpointManager(str(tmp_path), "pagerank", run_id="r1")
+    partial = pagerank(g, tol=None, max_iters=7, checkpoint=ck)  # "killed" after 7
+    assert partial.iterations == 7
+    assert ck.latest_iter() == 6
+
+    ck2 = CheckpointManager(str(tmp_path), "pagerank", run_id="r1")
+    resumed = pagerank(g, tol=1e-8, max_iters=200, checkpoint=ck2, resume=True)
+    got = _ranks_array(resumed, g.num_vertices)
+    assert resumed.converged
+    assert np.allclose(got, want, atol=1e-9)
+    # fewer supersteps ran after resume than from scratch
+    assert resumed.iterations < full.iterations
+
+    # lineage + metrics recorded per superstep
+    m = ck2.metrics(spark)
+    assert m.count() >= partial.iterations + resumed.iterations
+    assert {"run_id", "iter", "edges_processed", "wall_ms"} <= set(m.columns)
+
+
+def test_cc_resume_identical(spark, tmp_path):
+    g = Graph.from_edges(edges_from_pairs(spark, ALL_FIXTURES["g4_two_triangles_bridge"]))
+    want = {r["vid"]: r["label"] for r in connected_components(g).labels.collect()}
+
+    ck = CheckpointManager(str(tmp_path), "cc", run_id="c1")
+    connected_components(g, max_rounds=1, checkpoint=ck)
+    ck2 = CheckpointManager(str(tmp_path), "cc", run_id="c1")
+    resumed = connected_components(g, checkpoint=ck2, resume=True)
+    got = {r["vid"]: r["label"] for r in resumed.labels.collect()}
+    assert resumed.converged and got == want
