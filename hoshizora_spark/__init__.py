@@ -11,9 +11,11 @@ partitioning.
 from hoshizora_spark.graph.core import Graph, edges_from_pairs, symmetrize
 from hoshizora_spark.graph.csr import CsrBlocks, build_csr_blocks
 from hoshizora_spark.algorithms.pagerank import pagerank, pagerank_csr, top_k
+from hoshizora_spark.algorithms.clustering import clustering
 from hoshizora_spark.algorithms.components import connected_components
 from hoshizora_spark.algorithms.labelprop import label_propagation
 from hoshizora_spark.algorithms.triangles import triangle_counts, triangle_total
+from hoshizora_spark.io import read_edge_list, read_edges_parquet
 from hoshizora_spark.runtime.checkpoint import CheckpointManager
 from hoshizora_spark.session import get_spark
 
@@ -28,7 +30,10 @@ __all__ = [
     "pagerank",
     "pagerank_csr",
     "top_k",
+    "clustering",
     "connected_components",
+    "read_edge_list",
+    "read_edges_parquet",
     "label_propagation",
     "triangle_counts",
     "triangle_total",

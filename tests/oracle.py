@@ -57,6 +57,12 @@ def pagerank(
     return rank
 
 
+def pagerank_fixed_iters(edges: list[tuple[int, int]], num_iters: int) -> np.ndarray:
+    """Reference default mode: fixed iteration count, no tolerance
+    (pybind.cpp:14 num_iters=50)."""
+    return pagerank(edges, tol=None, max_iters=num_iters)
+
+
 def _undirected_simple(edges: list[tuple[int, int]]) -> set[tuple[int, int]]:
     """Dedup + drop self-loops + canonicalize (lo, hi)."""
     out = set()
