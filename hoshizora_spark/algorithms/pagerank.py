@@ -70,6 +70,8 @@ def pagerank(
     checkpoint_every: int = 1,
     resume: bool = False,
     broadcast_vertices: int = 5_000_000,
+    salt_hot_degree: int | None = None,
+    num_salts: int = 16,
 ) -> PageRankResult:
     """Pure-DataFrame path.
 
@@ -78,6 +80,13 @@ def pagerank(
     edge side never re-shuffles; the only exchange per superstep is the
     partial+final message aggregation. Above it (cluster scale) the join
     falls back to shuffle-hash on the co-partitioned ``src`` key.
+
+    ``salt_hot_degree``: explicit skew salting for the shuffle-join regime
+    (north_rule "salting for high-degree skew"). Out-degrees above this
+    mark a src as hot; its rank row is replicated ``num_salts`` ways and
+    its edges spread uniformly over the replicas (runtime/skew.py). Only
+    engaged when the broadcast fast path is off — a broadcast join has no
+    skewed exchange to salt.
     """
     spark = graph.spark
     V = graph.num_vertices
@@ -93,15 +102,22 @@ def pagerank(
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ew = ew.repartition(n_part, "src").persist()
 
+    hot = None
+    if salt_hot_degree is not None and V > broadcast_vertices:
+        from hoshizora_spark.runtime.skew import hot_keys
+
+        hot = hot_keys(graph.edges, "src", salt_hot_degree).persist()
+        hot.count()
+
     def step(ranks: DataFrame, it: int) -> DataFrame:
-        rank_src = maybe_broadcast(
-            ranks.select(F.col("vid").alias("src"), "rank"), V, broadcast_vertices
-        )
-        msgs = (
-            ew.join(rank_src, "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("w")).alias("acc"))
-        )
+        rank_src = ranks.select(F.col("vid").alias("src"), "rank")
+        if hot is not None:
+            from hoshizora_spark.runtime.skew import salted_join_edges_state
+
+            joined = salted_join_edges_state(ew, rank_src, "src", hot, num_salts)
+        else:
+            joined = ew.join(maybe_broadcast(rank_src, V, broadcast_vertices), "src")
+        msgs = joined.groupBy("dst").agg(F.sum(F.col("rank") * F.col("w")).alias("acc"))
         msgs = maybe_broadcast(msgs, V, broadcast_vertices)
         return ranks.join(msgs, ranks.vid == msgs.dst, "left").select(
             "vid",
@@ -128,6 +144,8 @@ def pagerank(
         metric_kind="delta",
     )
     ew.unpersist()
+    if hot is not None:
+        hot.unpersist()
     return PageRankResult(
         ranks=res.state,
         iterations=res.iterations,
