@@ -152,8 +152,118 @@ def q_label_propagation_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.labels.join(present, "vid").select("vid", "label")
 
 
+# ------------------------------------------------- text / similarity ops
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents + deterministic exact copies (doc_id<3 → +2000000) and
+    near-copies (doc_id<5 → +1000000, ' extra token tail' appended) so the
+    dedup operators have positives to find. Same construction in SQL."""
+    d = _docs(spark, sf_dir)
+    exact = d.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    near = d.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" extra token tail")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hoshizora_spark import text
+
+    return text.exact_dedup(_docs_aug(spark, sf_dir))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hoshizora_spark import text
+
+    return text.token_counts(_docs(spark, sf_dir))
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hoshizora_spark import text
+
+    return text.quality_scores(_docs(spark, sf_dir))
+
+
+def q_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hoshizora_spark import text
+
+    return text.lang_scores(_docs(spark, sf_dir))
+
+
+def q_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hoshizora_spark import text
+
+    return text.jaccard_pairs(_docs_aug(spark, sf_dir), threshold=0.5)
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (rows-only: xxhash64 not portable to DuckDB;
+    pytest checks candidate recall vs the exact-Jaccard op)."""
+    from hoshizora_spark import text
+
+    return text.minhash_near_dups(_docs_aug(spark, sf_dir), threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (rows-only; determinism + Hamming tested in pytest)."""
+    from hoshizora_spark import text
+
+    return text.simhash64(_docs(spark, sf_dir))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hoshizora_spark import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk(emb, queries_df, k=5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN (rows-only; recall vs exact checked in pytest)."""
+    from hoshizora_spark import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ann_lsh_topk(emb, queries_df, k=5, num_planes=16, bands=8)
+
+
+def q_clustering_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain-style clustering with coarsening (rows-only: iterative)."""
+    from hoshizora_spark import Graph, clustering
+
+    edges = _edges_cooccur(spark, sf_dir).filter(
+        (F.col("src") < 200) & (F.col("dst") < 200)
+    )
+    g = Graph.from_edges(edges)
+    return clustering(g, num_clusters_hint=10).assign
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dedup_exact": q_dedup_exact,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "lang_scores": q_lang_scores,
+        "jaccard_near_dup": q_jaccard_near_dup,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "clustering_modularity": q_clustering_modularity,
         "edge_extract_bipartite": q_edge_extract_bipartite,
         "edge_extract_cooccur": q_edge_extract_cooccur,
         "degree_topk": q_degree_topk,
@@ -176,8 +286,123 @@ _COOCCUR_SQL = """
 """
 
 
+_AUG_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 3
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' extra token tail' FROM documents WHERE doc_id < 5
+"""
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_STOPLIST = "('the','a','of','and','to','in','is','on','for','with')"
+
+
+def _lang_score_sql(markers: list[str]) -> str:
+    terms = [
+        f"CAST((length(low) - length(replace(low, '{w}', ''))) / {len(w)} AS BIGINT)"
+        for w in markers
+    ]
+    return " + ".join(terms)
+
+
 def oracle_sql() -> dict[str, str]:
+    from hoshizora_spark.text import LANG_MARKERS
+
+    langs = list(LANG_MARKERS)
+    score_cols = ",\n".join(
+        f"        {_lang_score_sql(ws)} AS {lang}_score" for lang, ws in LANG_MARKERS.items()
+    )
+    pred_cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{lang}_score >= {l}_score" for l in langs[i + 1:])
+        pred_cases.append(f"WHEN {conds} THEN '{lang}'")
+    pred_sql = "CASE " + " ".join(pred_cases) + f" ELSE '{langs[-1]}' END"
+
     return {
+        "dedup_exact": f"""
+            WITH aug AS ({_AUG_SQL})
+            SELECT sha256({_NORM}) AS content_hash,
+                   min(doc_id) AS keep_id,
+                   count(*) - 1 AS n_dups
+            FROM aug GROUP BY 1
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_measured
+            FROM documents
+        """,
+        "quality_scores": f"""
+            WITH s AS (
+              SELECT doc_id, text,
+                     string_split_regex({_NORM}, ' ') AS toks,
+                     length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS punct
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   round(punct * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(len(list_filter(toks, w -> w IN {_STOPLIST})) * 1.0
+                         / greatest(len(toks), 1), 6) AS stopword_ratio,
+                   round(least(len(toks) / 100.0, 1.0)
+                         * (1.0 - punct * 1.0 / greatest(length(text), 1))
+                         * (0.5 + len(list_filter(toks, w -> w IN {_STOPLIST})) * 1.0
+                                / greatest(len(toks), 1)), 6) AS quality
+            FROM s
+        """,
+        "lang_scores": f"""
+            WITH low AS (SELECT doc_id, lower(text) AS low FROM documents),
+            s AS (
+              SELECT doc_id,
+{score_cols}
+              FROM low
+            )
+            SELECT *, {pred_sql} AS pred_lang FROM s
+        """,
+        "jaccard_near_dup": f"""
+            WITH aug AS ({_AUG_SQL}),
+            norm AS (SELECT doc_id, string_split_regex({_NORM}, ' ') AS t FROM aug),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)] || ' '
+                       || t[CAST(i + 2 AS INT)] AS gram
+              FROM norm, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+              WHERE len(t) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+            inter AS (
+              SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS i
+              FROM grams ga JOIN grams gb
+                ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(i * 1.0 / (sa.n_grams + sb.n_grams - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE i * 1.0 / (sa.n_grams + sb.n_grams - i) >= 0.5
+        """,
+        "cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3
+            ),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])), 6) AS cos
+              FROM q, embeddings e
+              WHERE e.vec_id != q.query_id
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
+              ) AS rn
+              FROM scored
+            )
+            SELECT query_id, vec_id, cos FROM r WHERE rn <= 5
+        """,
         "edge_extract_bipartite": """
             SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
             FROM lineitem

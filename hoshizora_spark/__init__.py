@@ -15,6 +15,7 @@ from hoshizora_spark.algorithms.clustering import clustering
 from hoshizora_spark.algorithms.components import connected_components
 from hoshizora_spark.algorithms.labelprop import label_propagation
 from hoshizora_spark.algorithms.triangles import triangle_counts, triangle_total
+from hoshizora_spark import similarity, text
 from hoshizora_spark.io import read_edge_list, read_edges_parquet
 from hoshizora_spark.runtime.checkpoint import CheckpointManager
 from hoshizora_spark.session import get_spark
@@ -34,6 +35,8 @@ __all__ = [
     "connected_components",
     "read_edge_list",
     "read_edges_parquet",
+    "similarity",
+    "text",
     "label_propagation",
     "triangle_counts",
     "triangle_total",

@@ -1,0 +1,198 @@
+"""Embedding similarity search over ``embeddings(vec_id, embedding, label)``.
+
+Two tiers, mirroring the dedup design:
+
+* **brute-force cosine top-k** — the exactness baseline: broadcast the
+  (small) query set against the corpus, dot products via ``F.zip_with`` +
+  ``F.aggregate`` (JVM-side, codegen'd — no Python). O(Q·N·d) work but
+  embarrassingly parallel: each corpus partition scores independently and
+  a per-partition top-k heap (TakeOrderedAndProject after the groupBy
+  max-k pattern) bounds the shuffle at Q·k rows per partition.
+* **random-hyperplane LSH** — the scale path: P seeded pseudo-random
+  hyperplanes (weights derived from xxhash64(plane, dim) — deterministic,
+  no stored model), sign bits → banded buckets → candidates → exact
+  cosine re-rank. Sub-linear candidate sets at 10^9+ vectors.
+* **cosine near-dup pairs** — exact all-pairs above a threshold (small
+  N verification; at scale run it over LSH candidate pairs instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def with_unit_vectors(embeddings: DataFrame, col: str = "embedding") -> DataFrame:
+    """Pre-normalize once so cosine = dot (saves a sqrt per comparison)."""
+    a = F.col(col).cast("array<double>")
+    n = _norm(a)
+    return embeddings.withColumn(
+        "_unit", F.transform(a, lambda x: x / F.greatest(n, F.lit(1e-12)))
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(query_id, vec_id, cos) — exact top-k neighbors per query vector.
+
+    ``queries``: (query_id, embedding). Excludes self-matches
+    (query_id == vec_id). Queries are broadcast — the corpus never moves.
+    """
+    corp = with_unit_vectors(embeddings).select("vec_id", F.col("_unit").alias("cv"))
+    qry = with_unit_vectors(queries.withColumnRenamed("embedding", "embedding")).select(
+        F.col("query_id"), F.col("_unit").alias("qv")
+    )
+    scored = corp.crossJoin(F.broadcast(qry)).filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(_dot(F.col("qv"), F.col("cv")), round_dp).alias("cos"),
+    )
+    ranked = scored.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("cos").desc(), F.col("vec_id").asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("_rn") <= k).select("query_id", "vec_id", "cos")
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95, round_dp: int = 6
+) -> DataFrame:
+    """(a, b, cos) exact pairs with cosine >= threshold (a < b)."""
+    u = with_unit_vectors(embeddings).select("vec_id", "_unit")
+    left = u.select(F.col("vec_id").alias("a"), F.col("_unit").alias("ua"))
+    right = u.select(F.col("vec_id").alias("b"), F.col("_unit").alias("ub"))
+    return (
+        left.crossJoin(right)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(_dot(F.col("ua"), F.col("ub")), round_dp).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def _plane_weight(plane: int, dim_col):
+    """Deterministic pseudo-random weight in [-1, 1) for (plane, dim)."""
+    return (
+        F.pmod(F.xxhash64(F.lit(plane), dim_col), F.lit(2_000_003)) / 1_000_001.5
+        - F.lit(1.0)
+    )
+
+
+def hyperplane_signatures(embeddings: DataFrame, num_planes: int = 16) -> DataFrame:
+    """(vec_id, sig: array<int>) — sign bit per seeded hyperplane.
+
+    Weight w[p][d] is a hash of (p, d): no stored random state, identical
+    across runs and cluster sizes (determinism requirement).
+    """
+    a = F.col("embedding").cast("array<double>")
+    bits = F.array(
+        *[
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        a,
+                        F.sequence(F.lit(0), F.size(a) - 1),
+                        lambda x, d: x * _plane_weight(p, d),
+                    ),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, v: acc + v,
+                )
+                >= 0,
+                1,
+            )
+            .otherwise(0)
+            .alias(f"p{p}")
+            for p in range(num_planes)
+        ]
+    )
+    return embeddings.select("vec_id", bits.alias("sig"))
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 16,
+    bands: int = 4,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(query_id, vec_id, cos) — approximate top-k via LSH bucket join.
+
+    Candidates = vectors sharing ≥1 signature band with the query; exact
+    cosine re-rank on candidates only. Recall grows with bands; the
+    bucket join replaces the crossJoin so work is ~O(candidates·d).
+    """
+    rows = num_planes // bands
+    sig_c = hyperplane_signatures(embeddings, num_planes)
+    sig_q = hyperplane_signatures(
+        queries.select(F.col("query_id").alias("vec_id"), "embedding"), num_planes
+    ).select(F.col("vec_id").alias("query_id"), F.col("sig").alias("qsig"))
+
+    def banded(df, idc, sigc):
+        return df.select(
+            idc,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                ",", *[F.element_at(sigc, b * rows + r + 1) for r in range(rows)]
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(idc, "bb.band", "bb.bucket")
+
+    bc = banded(sig_c, "vec_id", F.col("sig"))
+    bq = banded(sig_q, "query_id", F.col("qsig"))
+    cand = bc.join(bq, ["band", "bucket"]).select("query_id", "vec_id").distinct()
+
+    corp = with_unit_vectors(embeddings).select("vec_id", F.col("_unit").alias("cv"))
+    qry = with_unit_vectors(
+        queries.select("query_id", "embedding")
+    ).select("query_id", F.col("_unit").alias("qv"))
+    scored = (
+        cand.filter(F.col("vec_id") != F.col("query_id"))
+        .join(corp, "vec_id")
+        .join(F.broadcast(qry), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_dot(F.col("qv"), F.col("cv")), round_dp).alias("cos"),
+        )
+    )
+    ranked = scored.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("cos").desc(), F.col("vec_id").asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("_rn") <= k).select("query_id", "vec_id", "cos")

@@ -1,0 +1,313 @@
+"""Text-pipeline operators over a documents table (training-data prep).
+
+Beyond the reference's graph algorithms, a link-graph engine feeding a
+training pipeline needs corpus hygiene ops. All of these are pure
+Catalyst expressions (no Python in the hot path) over
+``documents(doc_id, text, lang, source, n_chars)``:
+
+  * exact dedup         — sha256 over normalized text, keep min doc_id
+  * token counting      — whitespace tokenization, JVM-side
+  * quality scoring     — length / punctuation / stopword ratios
+  * language-ID         — marker-word n-gram heuristic, per-language scores
+  * n-gram Jaccard      — exact near-dup pairs via shingle self-join
+  * MinHash + LSH       — the at-scale near-dup path: k seeded hash
+                          functions, banded signatures, bucket join; the
+                          self-join touches only bucket-colliding pairs
+  * SimHash             — 64-bit fingerprint via per-token hash bit voting
+
+Scale notes (100 TB corpus): every op here is a scan + groupBy/join on
+either a 64-bit hash or a shingle — no global sorts, no driver
+collection. The shingle explode multiplies rows ~n_tokens×; at scale,
+cap tokens per doc (``max_tokens``) and MinHash instead of exact
+Jaccard — exact pair-verification then runs only on LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "with"],
+    "es": ["el", "la", "que"],
+    "de": ["der", "und", "ist"],
+    "fr": ["le", "les", "est"],
+    "zh": ["de", "shi", "bu"],
+}
+
+
+def normalized(col):
+    """lower + collapse whitespace + trim — the canonical dedup key."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """(content_hash, keep_id, n_dups): one row per distinct normalized text.
+
+    sha256 (not xxhash64) so fingerprints are portable across engines and
+    runs; at 10^12 docs the groupBy key is the 32-byte digest, not the
+    text — shuffle carries hashes only.
+    """
+    hashed = docs.select(
+        F.col("doc_id"), F.sha2(normalized(F.col("text")), 256).alias("content_hash")
+    )
+    return hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keep_id"),
+        (F.count(F.lit(1)) - 1).alias("n_dups"),
+    )
+
+
+def tokens(col):
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_chars_measured)."""
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, punct_ratio, stopword_ratio, quality).
+
+    quality = min(n_tokens/100, 1) * (1 - punct_ratio) *
+              (0.5 + stopword_ratio)   — rewards prose-like docs; fixed
+    formula so the DuckDB oracle reproduces it bit-for-bit at 6 dp.
+    """
+    t = tokens(normalized(F.col("text")))
+    n_tok = F.size(t)
+    n_stop = F.size(F.filter(t, lambda w: w.isin(STOPWORDS)))
+    punct = F.length(F.regexp_replace(F.lower(F.col("text")), r"[a-z0-9\s]", ""))
+    punct_ratio = punct / F.greatest(F.length("text"), F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
+    quality = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        * (F.lit(1.0) - punct_ratio)
+        * (F.lit(0.5) + stop_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def _count_marker(text_col, w: str):
+    # occurrences of token w (word-boundary-free count, same in both engines):
+    # (len(s) - len(replace(s, w, ''))) / len(w)
+    return (
+        (F.length(text_col) - F.length(F.replace(text_col, F.lit(w), F.lit(""))))
+        / F.lit(len(w))
+    ).cast("long")
+
+
+def lang_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, <lang>_score..., pred_lang) — marker-word heuristic.
+
+    pred_lang = first language (fixed en,es,de,fr,zh order) whose score is
+    strictly greater than all later ones — deterministic argmax.
+    """
+    low = F.lower(F.col("text"))
+    cols = {
+        lang: sum(
+            (_count_marker(low, w) for w in ws), F.lit(0).cast("long")
+        ).alias(f"{lang}_score")
+        for lang, ws in LANG_MARKERS.items()
+    }
+    scored = docs.select("doc_id", *cols.values())
+    langs = list(LANG_MARKERS)
+    pred = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        later = [f"{l}_score" for l in langs[langs.index(lang) + 1:]]
+        cond = F.lit(True)
+        for c in later:
+            cond = cond & (F.col(f"{lang}_score") >= F.col(c))
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return scored.withColumn("pred_lang", pred)
+
+
+def word_ngrams(docs: DataFrame, n: int = 3, max_tokens: int = 10_000) -> DataFrame:
+    """(doc_id, gram) — distinct word n-gram shingles per doc."""
+    t = F.slice(tokens(normalized(F.col("text"))), 1, max_tokens)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+    )
+    return (
+        docs.select("doc_id", F.explode(grams).alias("gram"))
+        .filter(F.col("gram") != "")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """(a, b, jaccard) for doc pairs with n-gram Jaccard >= threshold.
+
+    Exact path: shingle self-join. Quadratic only within identical grams —
+    fine at verification scale; at corpus scale use minhash_lsh_candidates
+    to prefilter and feed candidates through the same verification join.
+    """
+    g = word_ngrams(docs, n)
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    ga = g.select(F.col("doc_id").alias("a"), "gram")
+    gb = g.select(F.col("doc_id").alias("b"), "gram")
+    inter = (
+        ga.join(gb, "gram")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3) -> DataFrame:
+    """(doc_id, sig: array<long>) — k independent seeded min-hashes.
+
+    h_i(gram) = xxhash64(gram, i); signature element i = min over the
+    doc's grams. One explode + one groupBy; at 10^12 docs the shuffle
+    carries (doc_id, 32 longs).
+    """
+    g = word_ngrams(docs, n)
+    hashes = F.array(
+        *[F.xxhash64(F.col("gram"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    per_gram = g.select("doc_id", hashes.alias("hs"))
+    return per_gram.groupBy("doc_id").agg(
+        F.array(
+            *[F.min(F.element_at("hs", i + 1)).alias(f"m{i}") for i in range(num_hashes)]
+        ).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, num_hashes: int = 32, bands: int = 8, n: int = 3
+) -> DataFrame:
+    """(a, b) candidate near-dup pairs from banded MinHash buckets.
+
+    bands × rows-per-band = num_hashes; pairs colliding in ≥1 band emerge.
+    The bucket join groups on (band, bucket_hash) so hot buckets are the
+    only skew surface — cap with a per-bucket limit upstream if a
+    degenerate corpus (all-identical docs) is possible.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    left = banded.select(F.col("doc_id").alias("a"), "band", "bucket")
+    right = banded.select(F.col("doc_id").alias("b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard — the at-scale near-dup op."""
+    cand = minhash_lsh_candidates(docs, num_hashes, bands, n)
+    g = word_ngrams(docs, n)
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    ga = g.select(F.col("doc_id").alias("a"), "gram")
+    gb = g.select(F.col("doc_id").alias("b"), "gram")
+    inter = (
+        cand.join(ga, "a")
+        .join(gb, ["b", "gram"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 64-bit fingerprint by per-token hash bit voting.
+
+    bit b of the fingerprint = majority vote of bit b across all token
+    xxhash64 values. Near-identical docs differ in few bits (Hamming).
+    """
+    tok = docs.select(
+        "doc_id", F.explode(tokens(normalized(F.col("text")))).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = tok.select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = h.select(
+        "doc_id",
+        *[
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"b{b}")
+            for b in range(64)
+        ],
+    )
+    agg = votes.groupBy("doc_id").agg(
+        *[F.sum(f"b{b}").alias(f"b{b}") for b in range(64)]
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(64):
+        # bit 63 lands on the sign bit; bitwiseOR keeps it total within long
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return agg.select("doc_id", fp.alias("simhash"))

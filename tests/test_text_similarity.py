@@ -1,0 +1,138 @@
+"""Text-pipeline + similarity ops: correctness on the documents/embeddings tables."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hoshizora_spark import similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """Corpus + near-copies of the first 5 docs (a few tokens appended)."""
+    base = docs.limit(5).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token tail")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    exact = docs.limit(3).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return docs.unionByName(base).unionByName(exact)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_exact_dedup_finds_injected_dups(spark, docs_with_dups):
+    res = text.exact_dedup(docs_with_dups)
+    dup_groups = res.filter(F.col("n_dups") > 0).collect()
+    assert len(dup_groups) == 3
+    assert all(r["keep_id"] < 1_000_000 for r in dup_groups)  # keeps the original
+    # total rows preserved: sum over groups of (1 + n_dups) == corpus size
+    tot = res.agg(F.sum(F.col("n_dups") + 1)).first()[0]
+    assert tot == docs_with_dups.count()
+
+
+def test_token_counts_match_python(spark, docs):
+    rows = text.token_counts(docs).join(docs, "doc_id").limit(50).collect()
+    for r in rows:
+        assert r["n_tokens"] == len(r["text"].split())
+        assert r["n_chars_measured"] == len(r["text"])
+
+
+def test_quality_scores_bounds(spark, docs):
+    rows = text.quality_scores(docs).collect()
+    for r in rows:
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+        assert -0.01 <= r["quality"] <= 1.5 * 1.0 + 0.01
+
+
+def test_lang_scores_deterministic_argmax(spark, docs):
+    df = text.lang_scores(docs)
+    rows = df.limit(100).collect()
+    order = ["en", "es", "de", "fr", "zh"]
+    for r in rows:
+        scores = [(r[f"{lang}_score"], lang) for lang in order]
+        best = max(range(5), key=lambda i: (scores[i][0], -i))
+        assert r["pred_lang"] == order[best]
+
+
+def test_jaccard_pairs_finds_near_dups(spark, docs_with_dups):
+    pairs = text.jaccard_pairs(docs_with_dups, threshold=0.5).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    # each injected near-copy pairs with its original (exact copies have j=1)
+    for i in range(3):
+        assert any(a == i or b == i for a, b in got if b - a >= 1_000_000 or a < 5)
+    assert all(r["jaccard"] <= 1.0 for r in pairs)
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs_with_dups):
+    exact = {
+        (r["a"], r["b"])
+        for r in text.jaccard_pairs(docs_with_dups, threshold=0.7).collect()
+    }
+    assert exact, "fixture should contain high-jaccard pairs"
+    lsh = {
+        (r["a"], r["b"])
+        for r in text.minhash_near_dups(docs_with_dups, threshold=0.7).collect()
+    }
+    # LSH output is a subset of exact pairs (verification step) with high recall
+    assert lsh <= exact
+    assert len(lsh) >= 0.8 * len(exact)
+
+
+def test_simhash_near_for_near_dups(spark, docs_with_dups):
+    fp = {r["doc_id"]: r["simhash"] for r in text.simhash64(docs_with_dups).collect()}
+    # exact copies share the fingerprint
+    for i in range(3):
+        assert fp[i] == fp[i + 2_000_000]
+    # near-copies are within a few bits
+    for i in range(5):
+        ham = bin((fp[i] ^ fp[i + 1_000_000]) & ((1 << 64) - 1)).count("1")
+        assert ham <= 8, f"doc {i}: hamming {ham}"
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = similarity.cosine_topk(emb, queries, k=5).collect()
+    E = np.array([r["embedding"] for r in emb.orderBy("vec_id").collect()], dtype=np.float64)
+    ids = [r["vec_id"] for r in emb.orderBy("vec_id").collect()]
+    U = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+    qids = [r["query_id"] for r in queries.collect()]
+    for qid in qids:
+        qi = ids.index(qid)
+        sims = U @ U[qi]
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != qid),
+            key=lambda i: (-round(sims[i], 6), ids[i]),
+        )[:5]
+        want = [ids[i] for i in order]
+        mine = [r["vec_id"] for r in sorted(got, key=lambda r: (-r["cos"], r["vec_id"])) if r["query_id"] == qid]
+        assert mine == want, f"query {qid}"
+
+
+def test_ann_lsh_recall(spark, emb):
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.cosine_topk(emb, queries, k=5).collect()
+    approx = similarity.ann_lsh_topk(emb, queries, k=5, num_planes=16, bands=8).collect()
+    ex = {(r["query_id"], r["vec_id"]) for r in exact}
+    ap = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, f"recall {recall}"
+
+
+def test_hyperplane_signatures_deterministic(spark, emb):
+    s1 = {r["vec_id"]: r["sig"] for r in similarity.hyperplane_signatures(emb.limit(50)).collect()}
+    s2 = {r["vec_id"]: r["sig"] for r in similarity.hyperplane_signatures(emb.limit(50)).collect()}
+    assert s1 == s2
