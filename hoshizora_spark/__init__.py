@@ -12,7 +12,10 @@ from hoshizora_spark.graph.core import Graph, edges_from_pairs, symmetrize
 from hoshizora_spark.graph.csr import CsrBlocks, build_csr_blocks
 from hoshizora_spark.algorithms.pagerank import pagerank, pagerank_csr, top_k
 from hoshizora_spark.algorithms.clustering import clustering
-from hoshizora_spark.algorithms.components import connected_components
+from hoshizora_spark.algorithms.components import (
+    connected_components,
+    connected_components_csr,
+)
 from hoshizora_spark.algorithms.labelprop import label_propagation
 from hoshizora_spark.algorithms.triangles import triangle_counts, triangle_total
 from hoshizora_spark import similarity, text
@@ -33,6 +36,7 @@ __all__ = [
     "top_k",
     "clustering",
     "connected_components",
+    "connected_components_csr",
     "read_edge_list",
     "read_edges_parquet",
     "similarity",

@@ -62,7 +62,7 @@ def _best_moves(
             ).alias("q"),
         )
     )
-    q = maybe_broadcast(q, num_coarse, 5_000_000)
+    q = maybe_broadcast(q, num_coarse, 200_000)
     qs = q.select(F.col("cid").alias("src"), F.col("q").alias("q_src"))
     qd = q.select(F.col("cid").alias("dst"), F.col("q").alias("q_dst"))
     gains = (
@@ -88,7 +88,7 @@ def _best_moves(
             F.least(-F.col("top.neg_src"), F.col("dst")).alias("adopt"),
         )
     )
-    best = maybe_broadcast(best, num_coarse, 5_000_000)
+    best = maybe_broadcast(best, num_coarse, 200_000)
     return vprops.select("cid").join(best, "cid", "left").select(
         "cid",
         F.coalesce(F.col("adopt"), F.col("cid")).alias("new_label"),
@@ -103,7 +103,7 @@ def _pointer_jump(labels: DataFrame, num_coarse: int, max_hops: int = 64) -> Dat
         hop = maybe_broadcast(
             cur.select(F.col("cid").alias("jcid"), F.col("new_label").alias("jlabel")),
             num_coarse,
-            5_000_000,
+            200_000,
         )
         nxt = (
             cur.join(hop, cur.new_label == hop.jcid, "left")
@@ -168,11 +168,11 @@ def clustering(
             labels.select(F.col("new_label").alias("lbl")), ["lbl"], id_col="packed"
         )
         new_k = packed.count()
-        packed = maybe_broadcast(packed, new_k, 50_000_000)
+        packed = maybe_broadcast(packed, new_k, 200_000)
         cmap = labels.join(packed, labels.new_label == packed.lbl).select(
             F.col("cid"), F.col("packed")
         )
-        cmap = maybe_broadcast(cmap, num_coarse, 50_000_000)
+        cmap = maybe_broadcast(cmap, num_coarse, 200_000)
         assign = (
             assign.join(cmap, assign.coarse == cmap.cid)
             .select("vid", F.col("packed").alias("coarse"))

@@ -40,7 +40,7 @@ def connected_components(
     max_rounds: int = 50,
     checkpoint: CheckpointManager | None = None,
     resume: bool = False,
-    broadcast_vertices: int = 5_000_000,
+    broadcast_vertices: int = 200_000,
 ) -> ComponentsResult:
     spark = graph.spark
     V = graph.num_vertices
@@ -88,6 +88,66 @@ def connected_components(
     sym.unpersist()
     return ComponentsResult(
         labels=res.state,
+        rounds=res.iterations,
+        converged=res.converged,
+        changed_per_round=[int(c) for c in res.stats],
+        wall_ms_per_round=res.wall_ms,
+    )
+
+
+class MinLabelKernel:
+    """GAS form of min-label propagation (runtime/gas.py, combine='min').
+
+    Labels ride as float64 — exact for vertex ids < 2^53, far above the
+    10^12-file domain. Exercises the non-sum monoid path of the kernel
+    runtime; pointer jumping is skipped (plain propagation converges in
+    O(diameter) rounds instead of O(log d) — use ``connected_components``
+    when diameter is large).
+    """
+
+    combine = "min"
+    state_type = "double"
+
+    def init_expr(self, vid):
+        return vid.cast("double")
+
+    def scatter_gather(self, src_vals, weights):
+        return src_vals  # the label itself; weights unused
+
+    def apply_expr(self, vid, prev, acc):
+        return F.least(prev, F.coalesce(acc, prev))
+
+
+def connected_components_csr(
+    graph: Graph,
+    max_rounds: int = 100,
+    checkpoint: CheckpointManager | None = None,
+    resume: bool = False,
+) -> ComponentsResult:
+    """CSR-block GAS variant: same labels, hoshizora-style execution."""
+    from hoshizora_spark.graph.csr import build_csr_blocks
+    from hoshizora_spark.runtime.gas import gas_step, init_state
+
+    spark = graph.spark
+    sym_graph = Graph(edges=symmetrize(graph.edges), num_vertices=graph.num_vertices)
+    csr = build_csr_blocks(sym_graph)
+    kernel = MinLabelKernel()
+
+    res = bsp_loop(
+        spark,
+        init=lambda: init_state(spark, csr, kernel),
+        step=lambda state, it: gas_step(csr, state, kernel),
+        stat=lambda nxt: float(nxt.filter(F.col("new_val") != F.col("old_val")).count()),
+        done=lambda changed: changed == 0,
+        restore=lambda df: df.select("vid", F.col("new_val").alias("val"), "block_id"),
+        max_iters=max_rounds,
+        checkpoint=checkpoint,
+        resume=resume,
+        edges_per_iter=csr.num_edges,
+        metric_kind="changed",
+    )
+    return ComponentsResult(
+        labels=res.state.select("vid", F.col("val").cast("long").alias("label")),
         rounds=res.iterations,
         converged=res.converged,
         changed_per_round=[int(c) for c in res.stats],

@@ -38,7 +38,7 @@ def label_propagation(
     max_rounds: int = 20,
     checkpoint: CheckpointManager | None = None,
     resume: bool = False,
-    broadcast_vertices: int = 5_000_000,
+    broadcast_vertices: int = 200_000,
 ) -> LabelPropResult:
     spark = graph.spark
     V = graph.num_vertices

@@ -69,7 +69,7 @@ def pagerank(
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 1,
     resume: bool = False,
-    broadcast_vertices: int = 5_000_000,
+    broadcast_vertices: int = 200_000,
     salt_hot_degree: int | None = None,
     num_salts: int = 16,
 ) -> PageRankResult:
@@ -197,13 +197,13 @@ def pagerank_csr(
 
     res = bsp_loop(
         spark,
-        init=lambda: init_state(csr, kernel),
+        init=lambda: init_state(spark, csr, kernel),
         step=lambda state, it: gas_step(csr, state, kernel),
         stat=lambda nxt: float(
             nxt.agg(F.max(F.abs(F.col("new_val") - F.col("old_val")))).first()[0] or 0.0
         ),
         done=lambda d: tol is not None and d <= tol,
-        restore=lambda df: df.select("vid", F.col("new_val").alias("val")),
+        restore=lambda df: df.select("vid", F.col("new_val").alias("val"), "block_id"),
         max_iters=max_iters,
         checkpoint=checkpoint,
         checkpoint_every=checkpoint_every,

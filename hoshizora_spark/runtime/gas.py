@@ -15,7 +15,8 @@ barriers — scatter/gather fuse into one numpy pass, sum is split into an
 in-block partial fold + a final shuffle agg):
 
   1. route state rows to their owning block (``block_id_of``)
-  2. cogroup(blocks, state) → ``applyInPandas``:
+  2. groupBy(block_id) → ``applyInPandas`` (CSR arrays come from the
+     worker-cached sidecar, graph/csr.py — only state rows cross Arrow):
        gather src values per edge (np.repeat over CSR offsets),
        msgs = kernel.scatter_gather(src_vals, weights),
        per-block partial fold by dst (np.bincount / ufunc.at)
@@ -67,51 +68,57 @@ class VectorKernel(Protocol):
         ...
 
 
-def _partial_fold(combine: str, dst: np.ndarray, msgs: np.ndarray):
-    uniq, inv = np.unique(dst, return_inverse=True)
+def _partial_fold(combine: str, msgs_sorted: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Linear per-dst fold over dst-sorted messages (np.*.reduceat).
+
+    The sort happened ONCE at block-build time (the forward permutation,
+    reference graph.h:354-388); per superstep this is a single O(E) pass.
+    """
+    if len(msgs_sorted) == 0:
+        return msgs_sorted
     if combine == "sum":
-        acc = np.bincount(inv, weights=msgs, minlength=len(uniq))
-    elif combine == "min":
-        acc = np.full(len(uniq), np.inf)
-        np.minimum.at(acc, inv, msgs)
-    elif combine == "max":
-        acc = np.full(len(uniq), -np.inf)
-        np.maximum.at(acc, inv, msgs)
-    else:
-        raise ValueError(f"unknown combine {combine!r}")
-    return uniq, acc
+        return np.add.reduceat(msgs_sorted, starts)
+    if combine == "min":
+        return np.minimum.reduceat(msgs_sorted, starts)
+    if combine == "max":
+        return np.maximum.reduceat(msgs_sorted, starts)
+    raise ValueError(f"unknown combine {combine!r}")
 
 
 def gas_messages(csr: CsrBlocks, state: DataFrame, kernel: VectorKernel) -> DataFrame:
     """(dst, acc) after the full fold — steps 1-3 above.
 
-    ``state`` must be (vid: long, val: state_type) covering every vertex.
+    ``state`` must be (vid: long, val: state_type, block_id: int) covering
+    every vertex — ``block_id`` is assigned once by ``init_state`` and
+    carried through every superstep (vertex→block ownership is static, so
+    re-deriving it per superstep would be O(V·num_blocks) wasted work).
+    Only state rows travel through the exchange; the CSR arrays are loaded
+    from the sidecar store and cached inside each reused Python worker
+    (graph/csr.py load_block) — the static-adjacency property of the
+    reference's execution model.
     """
-    st = state.withColumn("block_id", csr.block_id_of(F.col("vid")))
+    st = state
+    path = csr.path
+    combine = kernel.combine
+    scatter_gather = kernel.scatter_gather
 
-    def run_block(key, blocks_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
-        if blocks_pdf.empty:
-            return pd.DataFrame({"dst": pd.Series([], dtype="int64"),
-                                 "acc": pd.Series([], dtype="float64")})
-        row = blocks_pdf.iloc[0]
-        lo, hi = int(row["lo"]), int(row["hi"])
-        offsets = np.asarray(row["offsets"], dtype=np.int64)
-        indices = np.asarray(row["indices"], dtype=np.int64)
-        weights = np.asarray(row["weights"], dtype=np.float64)
+    def run_block(key, state_pdf: pd.DataFrame) -> pd.DataFrame:
+        from hoshizora_spark.graph.csr import load_block
+
+        lo, hi, _off, _idx, _w, src_sorted, w_sorted, uniq_dst, starts = load_block(
+            path, int(key[0])
+        )
         vals = np.zeros(hi - lo, dtype=np.float64)
         vids = state_pdf["vid"].to_numpy(np.int64)
         vals[vids - lo] = state_pdf["val"].to_numpy(np.float64)
-        # gather: src value per edge, in CSR order (np.repeat over degrees)
-        src_vals = np.repeat(vals, np.diff(offsets))
-        msgs = kernel.scatter_gather(src_vals, weights)
-        uniq, acc = _partial_fold(kernel.combine, indices, msgs)
-        return pd.DataFrame({"dst": uniq, "acc": acc})
+        # gather per edge in dst-sorted order: one cache-friendly fancy
+        # index into the block-local state slice (the scatter+forward-
+        # permutation of the reference, fused)
+        msgs = scatter_gather(vals[src_sorted], w_sorted)
+        acc = _partial_fold(combine, msgs, starts)
+        return pd.DataFrame({"dst": uniq_dst, "acc": acc})
 
-    partial = (
-        csr.blocks.groupby("block_id")
-        .cogroup(st.groupby("block_id"))
-        .applyInPandas(run_block, schema="dst long, acc double")
-    )
+    partial = st.groupby("block_id").applyInPandas(run_block, schema="dst long, acc double")
     agg = _COMBINES[kernel.combine]
     return partial.groupBy("dst").agg(agg("acc").alias("acc"))
 
@@ -120,22 +127,24 @@ def gas_step(
     csr: CsrBlocks,
     state: DataFrame,
     kernel: VectorKernel,
-    broadcast_vertices: int = 5_000_000,
+    broadcast_vertices: int = 200_000,
 ) -> DataFrame:
-    """One full superstep: returns (vid, new_val, old_val)."""
+    """One full superstep: returns (vid, block_id, new_val, old_val)."""
     acc = gas_messages(csr, state, kernel)
     acc_b = maybe_broadcast(acc, csr.num_vertices, broadcast_vertices)
     joined = state.join(acc_b, state.vid == acc_b.dst, "left")
     return joined.select(
         "vid",
+        "block_id",
         kernel.apply_expr(F.col("vid"), F.col("val"), F.col("acc")).alias("new_val"),
         F.col("val").alias("old_val"),
     )
 
 
-def init_state(csr: CsrBlocks, kernel: VectorKernel) -> DataFrame:
-    spark = csr.blocks.sparkSession
+def init_state(spark, csr: CsrBlocks, kernel: VectorKernel) -> DataFrame:
+    """(vid, val, block_id) — block ownership computed once, here only."""
     return spark.range(csr.num_vertices).select(
         F.col("id").alias("vid"),
         kernel.init_expr(F.col("id")).cast(kernel.state_type).alias("val"),
+        csr.block_id_of(F.col("id")).alias("block_id"),
     )

@@ -23,33 +23,58 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-DATA_DIR = Path(os.environ.get("HZ_SCALE_DIR", "/tmp/hz_scale"))
+DATA_DIR = Path(os.environ.get("HZ_SCALE_DIR", "/tmp/hz_scale2"))
 EDGES = DATA_DIR / "edges.parquet"
-WARMUP = 2
-MEASURE = 8
-NUM_REPOS = 2000
-FILES_PER_REPO = 500
+WARMUP = 3
+MEASURE = 10
+MEASURE_DF = 5
+NUM_V = int(os.environ.get("HZ_SCALE_V", 8_000_000))
+NUM_E = int(os.environ.get("HZ_SCALE_E", 128_000_000))
+# N and 4N cores. 4 vs 16 keeps headroom on the 32-core box for the
+# driver/GC so the 4N level isn't contending with Spark's own threads.
+LEVELS = tuple(
+    int(x) for x in os.environ.get("HZ_SCALE_LEVELS", "4,16").split(",")
+)
 
 
 def build_input() -> None:
-    from hoshizora_spark.corpus import synthesize_corpus
-    from hoshizora_spark.graph.build import build_graph_from_corpus
+    """Deterministic power-law edge table, synthesized directly at scale.
+
+    (The corpus→edges pipeline is benchmarked separately in bench.py q5;
+    here we need enough edges that per-superstep compute dominates Spark's
+    fixed overhead, which string-building corpus synthesis would make
+    needlessly slow to generate.)
+    """
+    from pyspark.sql import functions as F
+
     from hoshizora_spark.session import get_spark
 
-    spark = get_spark(app_name="hz_scale_build", master="local[32]", shuffle_partitions=32)
-    corpus = synthesize_corpus(spark, num_repos=NUM_REPOS, files_per_repo=FILES_PER_REPO)
-    bundle = build_graph_from_corpus(corpus)
-    bundle.edges.write.mode("overwrite").parquet(str(EDGES))
-    meta = {"num_vertices": bundle.num_vertices, "num_edges": bundle.num_edges}
+    spark = get_spark(app_name="hz_scale_build", master="local[32]", shuffle_partitions=64)
+    u = (F.pmod(F.xxhash64("id", F.lit("t")), F.lit(1_000_003)) / 1_000_003.0)
+    edges = spark.range(NUM_E).select(
+        F.pmod(F.xxhash64("id", F.lit("s")), F.lit(NUM_V)).alias("src"),
+        F.floor(F.lit(NUM_V) * F.pow(u, F.lit(2.0))).cast("long").alias("dst"),
+    )
+    edges.write.mode("overwrite").parquet(str(EDGES))
+    # one-time CSR sidecar build on all cores (identical layout both levels)
+    from hoshizora_spark import Graph, build_csr_blocks
+
+    g = Graph.from_edges(spark.read.parquet(str(EDGES)), num_vertices=NUM_V)
+    csr = build_csr_blocks(g, num_blocks=32, sidecar_root=str(DATA_DIR / "csr"))
+    meta = {
+        "num_vertices": NUM_V,
+        "num_edges": NUM_E,
+        "csr_path": csr.path,
+        "csr_bounds": csr.bounds,
+    }
     (DATA_DIR / "meta.json").write_text(json.dumps(meta))
-    print(f"built input: {meta}", file=sys.stderr)
+    print(f"built input: V={NUM_V} E={NUM_E} blocks={csr.num_blocks}", file=sys.stderr)
     spark.stop()
 
 
 def run_level(cpus: int) -> dict:
-    from pyspark.sql import functions as F
-
-    from hoshizora_spark import Graph, build_csr_blocks, pagerank, pagerank_csr
+    from hoshizora_spark import Graph, pagerank, pagerank_csr
+    from hoshizora_spark.graph.csr import CsrBlocks
     from hoshizora_spark.session import get_spark
 
     meta = json.loads((DATA_DIR / "meta.json").read_text())
@@ -58,24 +83,40 @@ def run_level(cpus: int) -> dict:
     )
     edges = spark.read.parquet(str(EDGES))
     g = Graph.from_edges(edges, num_vertices=meta["num_vertices"])
+    csr = CsrBlocks(
+        path=meta["csr_path"],
+        bounds=list(meta["csr_bounds"]),
+        num_vertices=meta["num_vertices"],
+        num_edges=meta["num_edges"],
+    )
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        return s[len(s) // 2]
 
     out: dict = {"cpus": cpus, **meta}
-    # DataFrame path: run WARMUP+MEASURE supersteps, time the tail.
-    res = pagerank(g, tol=None, max_iters=WARMUP)  # warmup JVM/codegen
+    # DataFrame path: run WARMUP then MEASURE supersteps; report both the
+    # total and the median per-superstep (robust to VM noise spikes).
+    res = pagerank(g, tol=None, max_iters=2)  # warmup JVM/codegen
     t0 = time.perf_counter()
-    res = pagerank(g, tol=None, max_iters=MEASURE)
+    res = pagerank(g, tol=None, max_iters=MEASURE_DF)
     df_wall = time.perf_counter() - t0
+    med = median(res.wall_ms_per_iter) / 1000.0
     out["df_wall_s"] = round(df_wall, 3)
-    out["df_edges_per_sec"] = round(res.edges_processed_per_iter * MEASURE / df_wall)
+    out["df_median_superstep_s"] = round(med, 3)
+    out["df_edges_per_sec"] = round(res.edges_processed_per_iter / med)
 
-    # CSR path (build excluded from the measured window; it's one-time).
-    csr = build_csr_blocks(g, num_blocks=cpus)
+    # CSR path: pre-built sidecar shared by both levels — identical
+    # physical layout (32 blocks), only the core count varies.
     pagerank_csr(g, csr, tol=None, max_iters=WARMUP)
     t0 = time.perf_counter()
     resc = pagerank_csr(g, csr, tol=None, max_iters=MEASURE)
     csr_wall = time.perf_counter() - t0
+    medc = median(resc.wall_ms_per_iter) / 1000.0
     out["csr_wall_s"] = round(csr_wall, 3)
-    out["csr_edges_per_sec"] = round(csr.num_edges * MEASURE / csr_wall)
+    out["csr_median_superstep_s"] = round(medc, 3)
+    out["csr_superstep_ms"] = [round(x) for x in resc.wall_ms_per_iter]
+    out["csr_edges_per_sec"] = round(csr.num_edges / medc)
     spark.stop()
     return out
 
@@ -88,7 +129,7 @@ def main() -> None:
     if not (DATA_DIR / "meta.json").exists():
         build_input()
     results = {}
-    for cpus in (8, 32):
+    for cpus in LEVELS:
         env = dict(os.environ)
         proc = subprocess.run(
             [sys.executable, __file__, "--run", str(cpus)],
@@ -99,10 +140,11 @@ def main() -> None:
             raise SystemExit(f"level {cpus} failed")
         results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
         print(json.dumps(results[cpus]), file=sys.stderr)
+    n, n4 = LEVELS
     for path in ("df", "csr"):
-        t8 = results[8][f"{path}_edges_per_sec"]
-        t32 = results[32][f"{path}_edges_per_sec"]
-        results[f"{path}_scaling_efficiency"] = round(t32 / t8 / 4.0, 3)
+        tn = results[n][f"{path}_edges_per_sec"]
+        tn4 = results[n4][f"{path}_edges_per_sec"]
+        results[f"{path}_scaling_efficiency"] = round(tn4 / tn / (n4 / n), 3)
     print(json.dumps(results))
 
 

@@ -5,7 +5,13 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from hoshizora_spark import Graph, build_csr_blocks, edges_from_pairs, pagerank_csr
+from hoshizora_spark import (
+    Graph,
+    build_csr_blocks,
+    connected_components_csr,
+    edges_from_pairs,
+    pagerank_csr,
+)
 from hoshizora_spark.graph.csr import local_block_id
 from tests import oracle
 from tests.fixtures import ALL_FIXTURES
@@ -29,12 +35,24 @@ def test_pagerank_csr_matches_oracle(spark, name):
     assert np.allclose(got, want, atol=1e-6), f"{name}: max err {np.abs(got - want).max()}"
 
 
+@pytest.mark.parametrize("name", ["g4_two_triangles_bridge", "g5_multi_dup_isolated"])
+def test_cc_csr_matches_oracle(spark, name):
+    edges = ALL_FIXTURES[name]
+    g = _graph(spark, name)
+    res = connected_components_csr(g)
+    assert res.converged
+    rows = {r["vid"]: r["label"] for r in res.labels.collect()}
+    got = np.array([rows[i] for i in range(g.num_vertices)])
+    want = oracle.connected_components(edges)
+    assert (got == want).all(), f"{name}: {got} != {want}"
+
+
 def test_csr_block_invariants(spark):
     name = next(iter(ALL_FIXTURES))
     edges = ALL_FIXTURES[name]
     g = _graph(spark, name)
     csr = build_csr_blocks(g, num_blocks=3)
-    rows = csr.blocks.collect()
+    rows = csr.blocks_df(spark).collect()
     # blocks tile the vertex range exactly
     spans = sorted((r["lo"], r["hi"]) for r in rows)
     assert spans[0][0] == 0 and spans[-1][1] == g.num_vertices

@@ -1,0 +1,71 @@
+"""Physical-plan audits (SURVEY.md §7.3 #4): the plans we ship are the
+plans we designed.
+
+* no ``BatchEvalPython`` (row-at-a-time Python) anywhere — Python enters
+  only through Arrow (``FlatMapGroupsInPandas`` on the CSR path)
+* the small rank/label side broadcasts in the small-V regime
+* parquet scans carry pushed filters / pruned schemas
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hoshizora_spark import Graph, edges_from_pairs
+from hoshizora_spark.algorithms.pagerank import _weighted_edges
+from hoshizora_spark.graph.core import maybe_broadcast
+from tests.fixtures import ALL_FIXTURES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _graph(spark):
+    return Graph.from_edges(edges_from_pairs(spark, ALL_FIXTURES["g6_powerlaw"]))
+
+
+def test_no_row_python_in_message_plan(spark):
+    g = _graph(spark)
+    ew = _weighted_edges(g)
+    ranks = g.vertices().withColumn("rank", F.lit(1.0))
+    msgs = (
+        ew.join(maybe_broadcast(ranks.selectExpr("vid as src", "rank"), g.num_vertices, 10**6), "src")
+        .groupBy("dst")
+        .agg(F.sum(F.col("rank") * F.col("w")).alias("acc"))
+    )
+    plan = _plan(msgs)
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_gas_plan_uses_arrow_not_row_python(spark):
+    from hoshizora_spark.algorithms.pagerank import PageRankKernel
+    from hoshizora_spark.graph.csr import build_csr_blocks
+    from hoshizora_spark.runtime.gas import gas_messages, init_state
+
+    g = _graph(spark)
+    csr = build_csr_blocks(g, num_blocks=2)
+    kernel = PageRankKernel(g.num_vertices)
+    msgs = gas_messages(csr, init_state(spark, csr, kernel), kernel)
+    plan = _plan(msgs)
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # Arrow-batched, the only Python entry
+
+
+def test_parquet_scan_prunes_and_pushes(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = docs.filter(F.col("doc_id") < 100).select("doc_id", "lang")
+    plan = _plan(q)
+    assert "PushedFilters: [" in plan and "LessThan(doc_id,100)" in plan
+    # column pruning: text (the wide column) must not be read
+    assert "ReadSchema" in plan and "text" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_triangle_plan_no_cartesian(spark):
+    from hoshizora_spark.algorithms.triangles import triangle_triples
+
+    g = _graph(spark)
+    plan = _plan(triangle_triples(g))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
