@@ -1,0 +1,82 @@
+"""Structured Streaming surface: dynamic-graph edge ingestion.
+
+The reference lists "Support dynamic graph" as unimplemented WIP
+(/root/reference/README.md:63). On Spark this is Structured Streaming:
+edges arrive as files (or Kafka at cluster scale — same unbounded
+DataFrame, different ``format``), and the engine maintains incremental
+aggregates. Batch algorithms then run on snapshots: streaming keeps the
+edge table and degree materializations fresh; the BSP loops (pagerank &
+co.) are triggered per snapshot — the standard lambda split for iterative
+graph analytics, since a BSP fixpoint is not a streaming-incremental
+computation.
+
+Scale notes: stateful aggregations shuffle on their keys exactly like the
+batch ops, so the same skew reasoning applies (hot dst ⇒ salting or the
+per-partition partial fold). Watermarks bound state for the windowed op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_edges_from_text(spark: SparkSession, path: str) -> DataFrame:
+    """Unbounded (src, dst) stream from whitespace pair-per-line files.
+
+    Streaming analogue of ``io.read_edge_list`` (same parse contract:
+    ``#`` comments and blank lines skipped, one pair per line).
+    """
+    lines = (
+        spark.readStream.format("text")
+        .load(path)
+        .select(F.trim("value").alias("line"))
+    )
+    toks = lines.filter((F.col("line") != "") & ~F.col("line").startswith("#")).select(
+        F.split("line", r"\s+").alias("t")
+    )
+    return toks.select(
+        F.element_at("t", 1).cast("long").alias("src"),
+        F.element_at("t", 2).cast("long").alias("dst"),
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+
+
+def streaming_degrees(edge_stream: DataFrame) -> DataFrame:
+    """Continuously-maintained out/in degree per vertex.
+
+    ``update`` output mode + a sink (Delta/Iceberg/parquet at cluster
+    scale) gives a live degree table; the skew histogram that drives
+    salting decisions reads from it for free.
+    """
+    out_deg = edge_stream.groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    return out_deg
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-type event counts in (sliding) time windows with late-data bound.
+
+    Works on any stream with (ts: timestamp, event_type: string) — e.g. a
+    commit/push event feed refreshing the corpus. The watermark caps state:
+    windows older than max(ts) - watermark are finalized and dropped.
+    """
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    # parquet often carries TIMESTAMP_NTZ; watermarks need TimestampType
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )

@@ -1,0 +1,100 @@
+"""Structured Streaming ops: file-source edge ingestion + windowed counts."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from hoshizora_spark.streaming import (
+    stream_edges_from_text,
+    streaming_degrees,
+    windowed_event_counts,
+)
+
+
+def _run_until_batch(query, timeout_s: float = 60.0) -> None:
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        query.processAllAvailable()
+        return
+    raise TimeoutError
+
+
+def test_stream_edges_and_degrees(spark, tmp_path):
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    (src_dir / "a.txt").write_text("# header\n0 1\n0 2\n1 2\n")
+    stream = stream_edges_from_text(spark, str(src_dir))
+    assert stream.isStreaming
+    deg = streaming_degrees(stream)
+    q = (
+        deg.writeStream.format("memory")
+        .queryName("deg_sink")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        _run_until_batch(q)
+        got = {r["vid"]: r["out_deg"] for r in spark.sql("SELECT * FROM deg_sink").collect()}
+        assert got == {0: 2, 1: 1}
+        # late-arriving file updates the aggregate
+        (src_dir / "b.txt").write_text("2 0\n0 9\n")
+        q.processAllAvailable()
+        got = {r["vid"]: r["out_deg"] for r in spark.sql("SELECT * FROM deg_sink").collect()}
+        assert got == {0: 3, 1: 1, 2: 1}
+    finally:
+        q.stop()
+
+
+def test_windowed_event_counts_batch_semantics(spark, sf_dir):
+    # the op is stream-agnostic: same plan on a bounded frame must equal a
+    # plain SQL window count (watermark is a no-op on batch data)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = windowed_event_counts(events, window="1 hour").orderBy(
+        "window_start", "event_type"
+    )
+    want = (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+        .orderBy("window_start", "event_type")
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_windowed_event_counts_streaming(spark, sf_dir, tmp_path):
+    # replay the events table as a file stream; totals must match batch
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream_dir = tmp_path / "ev"
+    events.coalesce(2).write.parquet(str(stream_dir))
+    stream = spark.readStream.schema(events.schema).parquet(str(stream_dir))
+    res = windowed_event_counts(stream, window="1 hour")
+    q = (
+        res.writeStream.format("memory")
+        .queryName("ev_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # append mode emits only watermark-finalized windows: a subset of
+        # batch results with identical values
+        got = {
+            (r["window_start"], r["event_type"]): r["n"]
+            for r in spark.sql("SELECT * FROM ev_sink").collect()
+        }
+        want = {
+            (r["window_start"], r["event_type"]): r["n"]
+            for r in windowed_event_counts(events, window="1 hour").collect()
+        }
+        assert got, "no finalized windows emitted"
+        for k, v in got.items():
+            assert want[k] == v
+    finally:
+        q.stop()
