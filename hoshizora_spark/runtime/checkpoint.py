@@ -9,6 +9,10 @@ persists vertex state so a run can resume mid-convergence. Layout:
 
 On a cluster ``base`` would be an Iceberg warehouse path; parquet-on-dir is
 the same write shape (atomic per-iteration directory + _SUCCESS marker).
+``base_dir`` must be driver-visible (local/NFS in this sandbox): the
+``_DONE`` markers and ``latest_iter`` scan use plain file I/O. For object
+stores, swap those two helpers to ``fsspec``/Hadoop FS calls — the Spark
+reads/writes already take any ``scheme://`` path.
 The reference has no analogue — it mutates a double-buffered array in place
 (core/graph.h:431-435); checkpointing is what replaces that on Spark, and it
 also cuts DataFrame lineage so analyzer cost stays O(1) per superstep.

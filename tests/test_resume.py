@@ -46,6 +46,35 @@ def test_pagerank_resume_identical(spark, tmp_path):
     assert {"run_id", "iter", "edges_processed", "wall_ms"} <= set(m.columns)
 
 
+def test_pagerank_csr_resume_identical(spark, tmp_path):
+    from hoshizora_spark import pagerank_csr
+    from hoshizora_spark.graph.csr import build_csr_blocks
+
+    g = Graph.from_edges(edges_from_pairs(spark, ALL_FIXTURES["g6_powerlaw"]))
+    csr = build_csr_blocks(g, num_blocks=3)
+    want = _ranks_array(pagerank_csr(g, csr, tol=1e-8, max_iters=200), g.num_vertices)
+
+    ck = CheckpointManager(str(tmp_path), "pr_csr", run_id="x1")
+    pagerank_csr(g, csr, tol=None, max_iters=5, checkpoint=ck)
+    ck2 = CheckpointManager(str(tmp_path), "pr_csr", run_id="x1")
+    resumed = pagerank_csr(g, csr, tol=1e-8, max_iters=200, checkpoint=ck2, resume=True)
+    got = _ranks_array(resumed, g.num_vertices)
+    assert resumed.converged
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_pagerank_partitioning_invariance(spark):
+    """Same result regardless of input partitioning (determinism across
+    parallelism levels, SURVEY §5.3)."""
+    pairs = ALL_FIXTURES["g6_powerlaw"]
+    base = edges_from_pairs(spark, pairs)
+    a = pagerank(Graph.from_edges(base.repartition(3)), tol=1e-9, max_iters=300)
+    b = pagerank(Graph.from_edges(base.repartition(11)), tol=1e-9, max_iters=300)
+    va = _ranks_array(a, 200)
+    vb = _ranks_array(b, 200)
+    assert np.allclose(va, vb, atol=1e-9)
+
+
 def test_cc_resume_identical(spark, tmp_path):
     g = Graph.from_edges(edges_from_pairs(spark, ALL_FIXTURES["g4_two_triangles_bridge"]))
     want = {r["vid"]: r["label"] for r in connected_components(g).labels.collect()}
