@@ -19,7 +19,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hoshizora_spark.graph.core import Graph, maybe_broadcast, symmetrize
+from hoshizora_spark.graph.core import Graph, maybe_broadcast, sized_partitions, symmetrize
 from hoshizora_spark.runtime.checkpoint import CheckpointManager
 from hoshizora_spark.runtime.superstep import bsp_loop
 
@@ -42,8 +42,9 @@ def label_propagation(
 ) -> LabelPropResult:
     spark = graph.spark
     V = graph.num_vertices
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    sym = symmetrize(graph.edges).repartition(n_part, "src").persist()
+    sym = symmetrize(graph.edges)
+    n_part = sized_partitions(spark, sym.count())
+    sym = sym.repartition(n_part, "src").persist()
 
     def step(labels: DataFrame, it: int) -> DataFrame:
         # count neighbor labels arriving at each dst

@@ -33,7 +33,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hoshizora_spark.graph.core import Graph, maybe_broadcast
+from hoshizora_spark.graph.core import Graph, maybe_broadcast, sized_partitions
 from hoshizora_spark.graph.csr import CsrBlocks, build_csr_blocks
 from hoshizora_spark.runtime.checkpoint import CheckpointManager
 from hoshizora_spark.runtime.gas import gas_step, init_state
@@ -99,7 +99,7 @@ def pagerank(
     num_msg_edges = ew.count()  # distinct (src,dst) pairs carried per superstep
     # Persist the static side once; every superstep reuses it. On a cluster this
     # is the analogue of the reference's one-time CSR build (core/graph.h:439-547).
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = sized_partitions(spark, num_msg_edges)
     ew = ew.repartition(n_part, "src").persist()
 
     hot = None

@@ -43,6 +43,17 @@ def symmetrize(edges: DataFrame, dedup: bool = True, drop_loops: bool = True) ->
     return sym
 
 
+def sized_partitions(spark: SparkSession, num_rows: int, rows_per_partition: int = 150_000) -> int:
+    """Partition count proportional to data volume, capped at the session's
+    shuffle parallelism. Over-splitting small data wastes a fixed per-task
+    cost per superstep (measured ~2× on 1M-edge graphs at 32 partitions);
+    under-splitting big data spills — both ends of the same dial.
+    ``spark.sql.shuffle.partitions`` stays the cluster-sized ceiling.
+    """
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return max(1, min(cap, num_rows // rows_per_partition + 1))
+
+
 def maybe_broadcast(df: DataFrame, num_rows: int, threshold: int) -> DataFrame:
     """Broadcast-hint ``df`` when its row count is known to be small.
 
@@ -84,8 +95,14 @@ class Graph:
         return self.edges.sparkSession
 
     def vertices(self) -> DataFrame:
-        """The dense vertex domain as a DataFrame (vid: long)."""
-        return self.spark.range(self.num_vertices).select(F.col("id").alias("vid"))
+        """The dense vertex domain as a DataFrame (vid: long), with
+        partition count sized to V (state frames re-derive their layout
+        from this every superstep — over-splitting costs per-task overhead
+        in every job of the loop)."""
+        n = sized_partitions(self.spark, self.num_vertices, 500_000)
+        return self.spark.range(0, self.num_vertices, 1, n).select(
+            F.col("id").alias("vid")
+        )
 
     @cached_property
     def out_degrees(self) -> DataFrame:
