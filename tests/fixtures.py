@@ -34,6 +34,11 @@ def g6_powerlaw(num_vertices: int = 200, m: int = 4, seed: int = 42) -> list[tup
     return edges
 
 
+# complete bipartite K2,3 — the classic synchronous-LPA oscillator: labels
+# flip between the two sides every round, so termination comes from the
+# round cap and MUST be deterministic (same parity engine vs oracle)
+G7_BIPARTITE = [(0, 2), (0, 3), (0, 4), (1, 2), (1, 3), (1, 4)]
+
 ALL_FIXTURES: dict[str, list[tuple[int, int]]] = {
     "g1_chain": G1_CHAIN,
     "g2_cycle": G2_CYCLE,
@@ -41,4 +46,5 @@ ALL_FIXTURES: dict[str, list[tuple[int, int]]] = {
     "g4_two_triangles_bridge": G4_TWO_TRIANGLES_BRIDGE,
     "g5_multi_dup_isolated": G5_MULTI_DUP_ISOLATED,
     "g6_powerlaw": g6_powerlaw(),
+    "g7_bipartite": G7_BIPARTITE,
 }
