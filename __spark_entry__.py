@@ -241,6 +241,13 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, queries_df, k=5, num_planes=16, bands=8)
 
 
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """log2-bucket in-degree histogram — feeds the skew/salting decision."""
+    from hoshizora_spark.graph.build import degree_stats
+
+    return degree_stats(_edges_cooccur(spark, sf_dir))
+
+
 def q_clustering_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Louvain-style clustering with coarsening (rows-only: iterative)."""
     from hoshizora_spark import Graph, clustering
@@ -263,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "degree_histogram": q_degree_histogram,
         "clustering_modularity": q_clustering_modularity,
         "edge_extract_bipartite": q_edge_extract_bipartite,
         "edge_extract_cooccur": q_edge_extract_cooccur,
@@ -383,6 +391,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
             WHERE i * 1.0 / (sa.n_grams + sb.n_grams - i) >= 0.5
+        """,
+        "degree_histogram": f"""
+            WITH e AS ({_COOCCUR_SQL}),
+            indeg AS (SELECT dst, count(*) AS in_deg FROM e GROUP BY dst)
+            SELECT CAST(floor(log2(in_deg)) AS BIGINT) AS bucket,
+                   count(*) AS n_vertices,
+                   max(in_deg) AS max_in_deg
+            FROM indeg GROUP BY 1 ORDER BY bucket
         """,
         "cosine_topk": """
             WITH q AS (
