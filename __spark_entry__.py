@@ -137,6 +137,16 @@ def q_pagerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k(res.ranks, 10).select("vid", F.round("rank", 9).alias("rank"))
 
 
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Teleport-set PageRank from the 3 lowest supplier ids (rows-only:
+    iterative; pytest gates exactness vs the numpy oracle)."""
+    from hoshizora_spark import personalized_pagerank, top_k
+
+    g = _graph_cooccur(spark, sf_dir)
+    res = personalized_pagerank(g, sources=[1, 2, 3], tol=1e-6, max_iters=200)
+    return top_k(res.ranks, 10).select("vid", F.round("rank", 9).alias("rank"))
+
+
 def q_label_propagation_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sync LPA — iterative, rows-only check (pytest covers exactness)."""
     from hoshizora_spark import Graph, label_propagation
@@ -280,6 +290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_total_bipartite": q_triangle_total_bipartite,
         "connected_components_small": q_connected_components_small,
         "pagerank_top10": q_pagerank_top10,
+        "personalized_pagerank_top10": q_personalized_pagerank,
         "label_propagation_small": q_label_propagation_small,
     }
 

@@ -10,7 +10,12 @@ partitioning.
 
 from hoshizora_spark.graph.core import Graph, edges_from_pairs, symmetrize
 from hoshizora_spark.graph.csr import CsrBlocks, build_csr_blocks
-from hoshizora_spark.algorithms.pagerank import pagerank, pagerank_csr, top_k
+from hoshizora_spark.algorithms.pagerank import (
+    pagerank,
+    pagerank_csr,
+    personalized_pagerank,
+    top_k,
+)
 from hoshizora_spark.algorithms.clustering import clustering
 from hoshizora_spark.algorithms.components import (
     connected_components,
@@ -33,6 +38,7 @@ __all__ = [
     "symmetrize",
     "pagerank",
     "pagerank_csr",
+    "personalized_pagerank",
     "top_k",
     "clustering",
     "connected_components",

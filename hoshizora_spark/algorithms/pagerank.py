@@ -223,6 +223,79 @@ def pagerank_csr(
     )
 
 
+def personalized_pagerank(
+    graph: Graph,
+    sources: list[int],
+    tol: float | None = 1e-6,
+    max_iters: int = 200,
+    broadcast_vertices: int = 200_000,
+) -> PageRankResult:
+    """Teleport-set PageRank: random jumps land uniformly on ``sources``
+    instead of the whole domain — the standard "related files to this
+    seed set" query on a dependency graph. Same message plan as
+    ``pagerank``; only init and the apply constant differ:
+
+        init rank = 1[v in S]           (mass starts at the seeds)
+        new rank  = 0.85·Σ msgs + 0.15·1[v in S]/|S|
+
+    Mass leaks at sinks exactly like the base semantics (§2.4 #5).
+    """
+    spark = graph.spark
+    V = graph.num_vertices
+    if V == 0 or not sources:
+        return PageRankResult(ranks=graph.vertices().withColumn("rank", F.lit(0.0)),
+                              iterations=0, converged=True)
+    src_set = sorted({int(s) for s in sources})
+    base = JUMP / len(src_set)
+    is_source = F.col("vid").isin(src_set)
+
+    ew = _weighted_edges(graph)
+    num_msg_edges = ew.count()
+    ew = ew.repartition(sized_partitions(spark, num_msg_edges), "src").persist()
+
+    def step(ranks: DataFrame, it: int) -> DataFrame:
+        rank_src = maybe_broadcast(
+            ranks.select(F.col("vid").alias("src"), "rank"), V, broadcast_vertices
+        )
+        msgs = (
+            ew.join(rank_src, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("acc"))
+        )
+        msgs = maybe_broadcast(msgs, V, broadcast_vertices)
+        jump = F.when(is_source, F.lit(base)).otherwise(F.lit(0.0))
+        return ranks.join(msgs, ranks.vid == msgs.dst, "left").select(
+            "vid",
+            (F.lit(DAMPING) * F.coalesce(F.col("acc"), F.lit(0.0)) + jump).alias("new_rank"),
+            F.col("rank").alias("old_rank"),
+        )
+
+    res = bsp_loop(
+        spark,
+        init=lambda: graph.vertices().withColumn(
+            "rank", F.when(is_source, F.lit(1.0)).otherwise(F.lit(0.0))
+        ),
+        step=step,
+        stat=lambda nxt: float(
+            nxt.agg(F.max(F.abs(F.col("new_rank") - F.col("old_rank")))).first()[0] or 0.0
+        ),
+        done=lambda d: tol is not None and d <= tol,
+        restore=lambda df: df.select("vid", F.col("new_rank").alias("rank")),
+        max_iters=max_iters,
+        edges_per_iter=num_msg_edges,
+        metric_kind="delta",
+    )
+    ew.unpersist()
+    return PageRankResult(
+        ranks=res.state,
+        iterations=res.iterations,
+        converged=res.converged,
+        deltas=res.stats,
+        edges_processed_per_iter=num_msg_edges,
+        wall_ms_per_iter=res.wall_ms,
+    )
+
+
 def top_k(ranks: DataFrame, k: int = 10) -> DataFrame:
     """Top-k vertices by rank, deterministic order (rank desc, vid asc).
 

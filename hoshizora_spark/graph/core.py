@@ -115,3 +115,15 @@ class Graph:
 
     def undirected(self) -> DataFrame:
         return symmetrize(self.edges)
+
+    def save(self, path: str) -> None:
+        """Persist edges (parquet) + domain metadata for later sessions."""
+        self.edges.write.mode("overwrite").parquet(f"{path}/edges")
+        self.spark.createDataFrame(
+            [(self.num_vertices,)], schema="num_vertices long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "Graph":
+        v = spark.read.parquet(f"{path}/meta").first()["num_vertices"]
+        return Graph(edges=spark.read.parquet(f"{path}/edges"), num_vertices=int(v))

@@ -57,6 +57,36 @@ def pagerank(
     return rank
 
 
+def personalized_pagerank(
+    edges: list[tuple[int, int]],
+    sources: list[int],
+    num_vertices: int | None = None,
+    tol: float = 1e-9,
+    max_iters: int = 10_000,
+) -> np.ndarray:
+    """Teleport-set variant: init = 1[v in S]; jump mass 0.15/|S| to S only."""
+    V = num_vertices_of(edges) if num_vertices is None else num_vertices
+    src, dst = _edge_arrays(edges)
+    out_deg = np.zeros(V, dtype=np.float64)
+    np.add.at(out_deg, src, 1.0)
+    safe_deg = np.where(out_deg > 0, out_deg, 1.0)
+    S = sorted(set(int(s) for s in sources))
+    jump = np.zeros(V, dtype=np.float64)
+    jump[S] = 0.15 / len(S)
+    rank = np.zeros(V, dtype=np.float64)
+    rank[S] = 1.0
+    for _ in range(max_iters):
+        contrib = rank[src] / safe_deg[src]
+        acc = np.zeros(V, dtype=np.float64)
+        np.add.at(acc, dst, contrib)
+        new = 0.85 * acc + jump
+        delta = float(np.max(np.abs(new - rank))) if V else 0.0
+        rank = new
+        if delta <= tol:
+            break
+    return rank
+
+
 def pagerank_fixed_iters(edges: list[tuple[int, int]], num_iters: int) -> np.ndarray:
     """Reference default mode: fixed iteration count, no tolerance
     (pybind.cpp:14 num_iters=50)."""
