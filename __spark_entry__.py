@@ -258,6 +258,24 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_stats(_edges_cooccur(spark, sf_dir))
 
 
+def q_kcore_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreness per vertex (rows-only: iterative peeling; pytest gates
+    exactness vs the numpy oracle)."""
+    from hoshizora_spark import Graph
+    from hoshizora_spark.algorithms.kcore import k_core
+
+    edges = _edges_cooccur(spark, sf_dir).filter(
+        (F.col("src") < 200) & (F.col("dst") < 200)
+    )
+    g = Graph.from_edges(edges)
+    present = (
+        edges.select(F.col("src").alias("vid"))
+        .union(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    return k_core(g).coreness.join(present, "vid").select("vid", "coreness")
+
+
 def q_clustering_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Louvain-style clustering with coarsening (rows-only: iterative)."""
     from hoshizora_spark import Graph, clustering
@@ -281,6 +299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "degree_histogram": q_degree_histogram,
+        "kcore_small": q_kcore_small,
         "clustering_modularity": q_clustering_modularity,
         "edge_extract_bipartite": q_edge_extract_bipartite,
         "edge_extract_cooccur": q_edge_extract_cooccur,

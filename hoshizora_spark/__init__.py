@@ -21,6 +21,7 @@ from hoshizora_spark.algorithms.components import (
     connected_components,
     connected_components_csr,
 )
+from hoshizora_spark.algorithms.kcore import k_core
 from hoshizora_spark.algorithms.labelprop import label_propagation
 from hoshizora_spark.algorithms.triangles import triangle_counts, triangle_total
 from hoshizora_spark import similarity, text
@@ -41,6 +42,7 @@ __all__ = [
     "personalized_pagerank",
     "top_k",
     "clustering",
+    "k_core",
     "connected_components",
     "connected_components_csr",
     "read_edge_list",

@@ -163,6 +163,34 @@ def label_propagation(
     return labels
 
 
+def k_core(edges: list[tuple[int, int]], num_vertices: int | None = None) -> np.ndarray:
+    """Coreness per vertex over the undirected simple graph (peeling)."""
+    V = num_vertices_of(edges) if num_vertices is None else num_vertices
+    und = _undirected_simple(edges)
+    adj: list[set[int]] = [set() for _ in range(V)]
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = np.array([len(s) for s in adj], dtype=np.int64)
+    core = np.zeros(V, dtype=np.int64)
+    alive = deg > 0
+    k = 1
+    while alive.any():
+        core[alive] = k
+        changed = True
+        while changed:
+            peel = alive & (deg < k)
+            changed = bool(peel.any())
+            for v in np.flatnonzero(peel):
+                alive[v] = False
+                core[v] = k - 1
+                for u in adj[v]:
+                    if alive[u]:
+                        deg[u] -= 1
+        k += 1
+    return core
+
+
 def triangle_counts(
     edges: list[tuple[int, int]], num_vertices: int | None = None
 ) -> np.ndarray:
