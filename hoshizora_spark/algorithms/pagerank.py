@@ -53,12 +53,24 @@ class PageRankResult:
     wall_ms_per_iter: list[float] = field(default_factory=list)
 
 
-def _weighted_edges(graph: Graph) -> DataFrame:
-    """(src, dst, w) with w = multiplicity/out_degree — one row per distinct edge."""
-    mult = graph.edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("mult"))
-    deg = graph.out_degrees  # counts multi-edges, matching CSR degree
-    return mult.join(deg, "src").select(
-        "src", "dst", (F.col("mult") / F.col("out_deg")).alias("w")
+def _weighted_edges(graph: Graph, weight_col: str | None = None) -> DataFrame:
+    """(src, dst, w) — one row per distinct edge.
+
+    Unweighted (reference semantics): w = multiplicity / out_degree.
+    Weighted (``weight_col`` on the edge frame, the analogue of the
+    reference's ``e_props``): w = Σ edge weights / Σ src's out-weights —
+    rank flows proportionally to edge weight.
+    """
+    if weight_col is None:
+        mult = graph.edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("mult"))
+        deg = graph.out_degrees  # counts multi-edges, matching CSR degree
+        return mult.join(deg, "src").select(
+            "src", "dst", (F.col("mult") / F.col("out_deg")).alias("w")
+        )
+    mw = graph.edges.groupBy("src", "dst").agg(F.sum(weight_col).alias("mw"))
+    tot = graph.edges.groupBy("src").agg(F.sum(weight_col).alias("tot"))
+    return mw.join(tot, "src").select(
+        "src", "dst", (F.col("mw") / F.col("tot")).alias("w")
     )
 
 
@@ -72,6 +84,7 @@ def pagerank(
     broadcast_vertices: int = 200_000,
     salt_hot_degree: int | None = None,
     num_salts: int = 16,
+    weight_col: str | None = None,
 ) -> PageRankResult:
     """Pure-DataFrame path.
 
@@ -95,7 +108,7 @@ def pagerank(
                               iterations=0, converged=True)
     base = JUMP / V
 
-    ew = _weighted_edges(graph)
+    ew = _weighted_edges(graph, weight_col)
     num_msg_edges = ew.count()  # distinct (src,dst) pairs carried per superstep
     # Persist the static side once; every superstep reuses it. On a cluster this
     # is the analogue of the reference's one-time CSR build (core/graph.h:439-547).

@@ -79,9 +79,17 @@ class Graph:
     num_vertices: int
 
     @staticmethod
-    def from_edges(edges: DataFrame, num_vertices: int | None = None) -> "Graph":
+    def from_edges(
+        edges: DataFrame,
+        num_vertices: int | None = None,
+        extra_cols: tuple[str, ...] = (),
+    ) -> "Graph":
+        """``extra_cols`` keeps edge-property columns (e.g. a weight — the
+        analogue of the reference's ``e_props``, core/graph.h:74)."""
         edges = edges.select(
-            F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            *[F.col(c) for c in extra_cols],
         )
         if num_vertices is None:
             row = edges.agg(
