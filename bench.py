@@ -86,7 +86,7 @@ def main() -> None:
         from hoshizora_spark.graph.csr import build_csr_blocks
 
         t0 = time.perf_counter()
-        blocks = build_csr_blocks(g, num_blocks=CPUS)
+        blocks = build_csr_blocks(g)  # auto-sized (see graph/csr.py)
         resc = pagerank_csr(g, blocks, tol=1e-6, max_iters=300)
         _ = resc.ranks.count()
         q1c = time.perf_counter() - t0

