@@ -27,7 +27,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hoshizora_spark.graph.core import Graph, sized_partitions, symmetrize
+from hoshizora_spark.graph.core import Graph, maybe_broadcast, sized_partitions, symmetrize
 
 
 @dataclass
@@ -67,13 +67,114 @@ def k_core(graph: Graph, max_rounds: int = 10_000) -> KCoreResult:
             )
             k += 1
             continue
-        # remove peeled vertices and their edges; cascade stays at this k
-        peel_b = F.broadcast(peel) if n_peel <= 5_000_000 else peel
+        # remove peeled vertices and their edges; cascade stays at this k.
+        # Broadcast gate = the measured 200k driver-serialization ceiling
+        # (maybe_broadcast); a multi-million-row peel wave goes through a
+        # shuffle anti-join instead of stalling the driver.
+        peel_b = maybe_broadcast(peel, n_peel, 200_000)
         edges = (
             edges.join(peel_b.withColumnRenamed("src", "p"), edges.src == F.col("p"), "left_anti")
         )
-        peel_dst = peel.withColumnRenamed("src", "p")
-        peel_dst_b = F.broadcast(peel_dst) if n_peel <= 5_000_000 else peel_dst
+        peel_dst_b = maybe_broadcast(peel.withColumnRenamed("src", "p"), n_peel, 200_000)
         edges = edges.join(peel_dst_b, edges.dst == F.col("p"), "left_anti")
         edges = edges.localCheckpoint(eager=True)
     return KCoreResult(coreness=result, max_core=k - 1, rounds=rounds)
+
+
+def k_core_hindex(
+    graph: Graph, max_rounds: int = 200, broadcast_vertices: int = 200_000
+) -> KCoreResult:
+    """Coreness via synchronous h-index iteration — the at-scale path.
+
+    h(v) starts at degree(v); each round h(v) := H-index of its neighbors'
+    current h values (max k such that ≥ k neighbors have h ≥ k). The
+    fixpoint is exactly the coreness (Lü et al., Nat. Commun. 2016), and
+    values decrease monotonically, so rounds scale with how fast the
+    h-operator contracts (diameter-ish) — NOT with max coreness + cascade
+    count like peeling. On a 100 TB graph that is tens of rounds of one
+    shuffle each instead of thousands of sequential peel jobs.
+
+    Plan per round (all Catalyst-native):
+      1. neighbor values: sym-edges ⋈ state(src) ⋈ state(dst); each value
+         clipped to dst's own current h — a pure optimization (h can never
+         exceed its current value, proven monotone), which bounds the
+         per-(vid, c) histogram domain.
+      2. groupBy(vid, c).count — partial+final hash agg, so a hot vertex
+         receives at most (num_partitions × distinct clipped values) rows.
+      3. per-vid fold over the ≤ h_cur+1 histogram entries sorted by c
+         desc: cum += cnt; h_new = max(min(c, cum)) — an O(h_cur) array
+         aggregate, never an O(degree) window.
+    """
+    spark = graph.spark
+    V = graph.num_vertices
+    sym = symmetrize(graph.edges)
+    E = sym.count()
+    sym = sym.repartition(sized_partitions(spark, E), "src").persist()
+
+    deg = sym.groupBy(F.col("src").alias("vid")).agg(F.count(F.lit(1)).alias("h"))
+
+    def init() -> DataFrame:
+        return graph.vertices().join(deg, "vid", "left").select(
+            "vid", F.coalesce("h", F.lit(0)).cast("long").alias("h")
+        )
+
+    def step(state: DataFrame, it: int) -> DataFrame:
+        st_src = maybe_broadcast(
+            state.select(F.col("vid").alias("src"), F.col("h").alias("hs")),
+            V, broadcast_vertices,
+        )
+        st_dst = maybe_broadcast(
+            state.select(F.col("vid").alias("dst"), F.col("h").alias("hd")),
+            V, broadcast_vertices,
+        )
+        nbr = (
+            sym.join(st_src, "src")
+            .join(st_dst, "dst")
+            .select(F.col("dst").alias("vid"), F.least("hs", "hd").alias("c"))
+        )
+        hist = nbr.groupBy("vid", "c").agg(F.count(F.lit(1)).alias("cnt"))
+        entries = hist.groupBy("vid").agg(
+            F.sort_array(F.collect_list(F.struct("c", "cnt")), asc=False).alias("es")
+        )
+        folded = entries.select(
+            "vid",
+            F.aggregate(
+                "es",
+                F.struct(
+                    F.lit(0).cast("long").alias("cum"), F.lit(0).cast("long").alias("best")
+                ),
+                lambda acc, e: F.struct(
+                    (acc["cum"] + e["cnt"]).alias("cum"),
+                    F.greatest(
+                        acc["best"], F.least(e["c"], acc["cum"] + e["cnt"])
+                    ).alias("best"),
+                ),
+                lambda acc: acc["best"],
+            ).alias("h_new"),
+        )
+        # degree-0 vertices have no neighbor rows: h stays (0)
+        return state.join(folded, "vid", "left").select(
+            "vid",
+            F.coalesce("h_new", F.col("h")).alias("h"),
+            F.col("h").alias("old_h"),
+        )
+
+    from hoshizora_spark.runtime.superstep import bsp_loop
+
+    res = bsp_loop(
+        spark,
+        init=init,
+        step=step,
+        stat=lambda nxt: float(nxt.filter(F.col("h") != F.col("old_h")).count()),
+        done=lambda changed: changed == 0,
+        restore=lambda df: df.select("vid", "h"),
+        max_iters=max_rounds,
+        edges_per_iter=E,
+        metric_kind="changed",
+    )
+    sym.unpersist()
+    coreness = res.state.select("vid", F.col("h").cast("long").alias("coreness"))
+    mx = coreness.agg(F.max("coreness")).first()[0]
+    return KCoreResult(
+        coreness=coreness, max_core=int(mx or 0), rounds=res.iterations
+    )

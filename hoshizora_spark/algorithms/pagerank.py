@@ -259,6 +259,13 @@ def personalized_pagerank(
         return PageRankResult(ranks=graph.vertices().withColumn("rank", F.lit(0.0)),
                               iterations=0, converged=True)
     src_set = sorted({int(s) for s in sources})
+    bad = [s for s in src_set if s < 0 or s >= V]
+    if bad:
+        # out-of-domain seeds would silently inflate |S| (base = 0.15/|S|)
+        # while never receiving teleport mass — every rank biases low
+        raise ValueError(
+            f"personalized_pagerank sources outside vertex domain 0..{V - 1}: {bad}"
+        )
     base = JUMP / len(src_set)
     is_source = F.col("vid").isin(src_set)
 

@@ -19,7 +19,10 @@ def read_edge_list(spark: SparkSession, path: str) -> DataFrame:
     Matches ``IO::from_file`` observable behavior (io.h:32-71): every pair
     of whitespace-separated integer tokens is one directed edge; blank
     lines skipped. Lines starting with ``#`` (SNAP headers) are skipped —
-    the reference would choke on them, callers pre-strip.
+    the reference would choke on them, callers pre-strip. Non-integer
+    tokens become NULL via ``try_cast`` (a plain ``cast`` under Spark 4
+    ANSI mode would abort the whole read on one malformed line) and are
+    dropped by the isNotNull filter.
     """
     lines = spark.read.text(path).select(F.trim("value").alias("line"))
     toks = (
@@ -32,8 +35,8 @@ def read_edge_list(spark: SparkSession, path: str) -> DataFrame:
             F.transform(
                 F.sequence(F.lit(0), (F.floor(F.size("t") / 2) - 1).cast("int")),
                 lambda i: F.struct(
-                    F.element_at("t", (i * 2 + 1).cast("int")).cast("long").alias("src"),
-                    F.element_at("t", (i * 2 + 2).cast("int")).cast("long").alias("dst"),
+                    F.element_at("t", (i * 2 + 1).cast("int")).try_cast("long").alias("src"),
+                    F.element_at("t", (i * 2 + 2).cast("int")).try_cast("long").alias("dst"),
                 ),
             )
         ).alias("e")

@@ -50,15 +50,30 @@ def salted_sum(
     value_expr,
     out_col: str,
     num_salts: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Two-stage sum: groupBy(key, salt) -> groupBy(key).
 
-    Deterministic salt from a hash of the whole row position-independent
-    content is unnecessary — any uniform spread works; we hash the key's
-    partner columns via ``spark_partition_id`` which is already uniform
-    after the upstream exchange.
+    The salt is data-derived — a hash of the key's partner columns
+    (``salt_cols``, default: every non-key column) — NOT
+    ``spark_partition_id``: if the upstream stage has fewer partitions
+    than ``num_salts`` (AQE coalescing does this on small stages), a
+    topology-derived salt collapses to that partition count and stage-2
+    skew returns. Hashing row content keeps the spread at ``num_salts``
+    regardless of upstream partitioning.
     """
-    salted = df.withColumn(SALT_COL, F.pmod(F.spark_partition_id(), F.lit(num_salts)))
+    if salt_cols is None:
+        salt_cols = [c for c in df.columns if c != key]
+    # monotonically_increasing_id joins the hash so even all-identical rows
+    # (degenerate hot key with one repeated payload) spread over all salts;
+    # sum is associative so the final fold is unaffected.
+    salted = df.withColumn(
+        SALT_COL,
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in salt_cols], F.monotonically_increasing_id()),
+            F.lit(num_salts),
+        ),
+    )
     partial = salted.groupBy(key, SALT_COL).agg(F.sum(value_expr).alias("_partial"))
     return partial.groupBy(key).agg(F.sum("_partial").alias(out_col))
 

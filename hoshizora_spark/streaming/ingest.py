@@ -35,9 +35,10 @@ def stream_edges_from_text(spark: SparkSession, path: str) -> DataFrame:
     toks = lines.filter((F.col("line") != "") & ~F.col("line").startswith("#")).select(
         F.split("line", r"\s+").alias("t")
     )
+    # try_cast: malformed tokens -> NULL -> dropped (ANSI cast would abort)
     return toks.select(
-        F.element_at("t", 1).cast("long").alias("src"),
-        F.element_at("t", 2).cast("long").alias("dst"),
+        F.element_at("t", 1).try_cast("long").alias("src"),
+        F.element_at("t", 2).try_cast("long").alias("dst"),
     ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
 
 

@@ -134,12 +134,21 @@ def lang_scores(docs: DataFrame) -> DataFrame:
 
 
 def word_ngrams(docs: DataFrame, n: int = 3, max_tokens: int = 10_000) -> DataFrame:
-    """(doc_id, gram) — distinct word n-gram shingles per doc."""
+    """(doc_id, gram) — distinct word n-gram shingles per doc.
+
+    Docs with fewer than ``n`` tokens yield no grams. The guard matters:
+    ``F.sequence(0, size-n)`` with size < n would produce a *descending*
+    sequence (Spark infers step -1) whose -1 entry makes ``F.slice`` throw
+    under ANSI mode — one short doc would abort the whole job.
+    """
     t = F.slice(tokens(normalized(F.col("text"))), 1, max_tokens)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
-    )
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
     return (
         docs.select("doc_id", F.explode(grams).alias("gram"))
         .filter(F.col("gram") != "")
