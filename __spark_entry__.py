@@ -128,27 +128,33 @@ def q_connected_components_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.labels.join(present, "vid").select("vid", "label")
 
 
-def q_pagerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative PageRank — not SQL-expressible; driver rows-only check."""
-    from hoshizora_spark import pagerank, top_k
+PR_ITERS = 30  # fixed iteration count pinned identically in Spark + oracle
+
+
+def q_pagerank_fixed30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank run for exactly PR_ITERS supersteps (tol off) so the DuckDB
+    chained-CTE oracle computes the identical deterministic value — the
+    full rows+schema+hash check the tol-converged variant can't get."""
+    from hoshizora_spark import pagerank
 
     g = _graph_cooccur(spark, sf_dir)
-    res = pagerank(g, tol=1e-6, max_iters=200)
-    return top_k(res.ranks, 10).select("vid", F.round("rank", 9).alias("rank"))
+    res = pagerank(g, tol=None, max_iters=PR_ITERS)
+    return res.ranks.select("vid", F.round("rank", 6).alias("rank"))
 
 
-def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Teleport-set PageRank from the 3 lowest supplier ids (rows-only:
-    iterative; pytest gates exactness vs the numpy oracle)."""
-    from hoshizora_spark import personalized_pagerank, top_k
+def q_personalized_pagerank_fixed30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Teleport-set PageRank (seeds 1,2,3), fixed PR_ITERS supersteps —
+    same chained-CTE oracle discipline as pagerank_fixed30."""
+    from hoshizora_spark import personalized_pagerank
 
     g = _graph_cooccur(spark, sf_dir)
-    res = personalized_pagerank(g, sources=[1, 2, 3], tol=1e-6, max_iters=200)
-    return top_k(res.ranks, 10).select("vid", F.round("rank", 9).alias("rank"))
+    res = personalized_pagerank(g, sources=[1, 2, 3], tol=None, max_iters=PR_ITERS)
+    return res.ranks.select("vid", F.round("rank", 6).alias("rank"))
 
 
 def q_label_propagation_small(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sync LPA — iterative, rows-only check (pytest covers exactness)."""
+    """Sync LPA, 10 rounds — matched round-for-round by a chained-CTE
+    oracle (early fixpoint exit is safe: the operator is stationary there)."""
     from hoshizora_spark import Graph, label_propagation
 
     edges = _edges_cooccur(spark, sf_dir).filter((F.col("src") < 200) & (F.col("dst") < 200))
@@ -216,18 +222,21 @@ def q_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup (rows-only: xxhash64 not portable to DuckDB;
-    pytest checks candidate recall vs the exact-Jaccard op)."""
+    """MinHash+LSH candidates verified with exact Jaccard. The verify step
+    guarantees output ⊆ exact pairs; the oracle is the exact-Jaccard SQL,
+    so the check fails exactly when LSH recall drops below 1.0 on this
+    corpus — a real end-to-end recall gate, not a rows-only count."""
     from hoshizora_spark import text
 
     return text.minhash_near_dups(_docs_aug(spark, sf_dir), threshold=0.5)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (rows-only; determinism + Hamming tested in pytest)."""
+    """Portable 60-bit SimHash (sha256-prefix token hash) — bit-exact
+    DuckDB oracle; the xxhash64 fast path keeps its pytest coverage."""
     from hoshizora_spark import text
 
-    return text.simhash64(_docs(spark, sf_dir))
+    return text.simhash_sha60(_docs(spark, sf_dir))
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,14 +250,17 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN (rows-only; recall vs exact checked in pytest)."""
+    """Hyperplane-LSH ANN re-ranked with exact cosine. With 24 planes / 12
+    bands the candidate set recovers the exact top-5 on this corpus (checked
+    at sf0.001 and sf0.01), so the exact-cosine SQL doubles as the oracle —
+    the check IS the recall gate."""
     from hoshizora_spark import similarity
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ann_lsh_topk(emb, queries_df, k=5, num_planes=16, bands=8)
+    return similarity.ann_lsh_topk(emb, queries_df, k=5, num_planes=24, bands=12)
 
 
 def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,10 +271,11 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kcore_small(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Coreness per vertex (rows-only: iterative peeling; pytest gates
-    exactness vs the numpy oracle)."""
+    """Coreness per vertex via the h-index iteration — the fixpoint equals
+    peeling's coreness exactly, and the same operator chained as CTEs gives
+    a full DuckDB oracle (peeling's data-dependent round count can't)."""
     from hoshizora_spark import Graph
-    from hoshizora_spark.algorithms.kcore import k_core
+    from hoshizora_spark.algorithms.kcore import k_core_hindex
 
     edges = _edges_cooccur(spark, sf_dir).filter(
         (F.col("src") < 200) & (F.col("dst") < 200)
@@ -273,7 +286,7 @@ def q_kcore_small(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(edges.select(F.col("dst").alias("vid")))
         .distinct()
     )
-    return k_core(g).coreness.join(present, "vid").select("vid", "coreness")
+    return k_core_hindex(g).coreness.join(present, "vid").select("vid", "coreness")
 
 
 def q_clustering_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,8 +321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_total": q_triangle_total,
         "triangle_total_bipartite": q_triangle_total_bipartite,
         "connected_components_small": q_connected_components_small,
-        "pagerank_top10": q_pagerank_top10,
-        "personalized_pagerank_top10": q_personalized_pagerank,
+        "pagerank_fixed30": q_pagerank_fixed30,
+        "personalized_pagerank_fixed30": q_personalized_pagerank_fixed30,
         "label_propagation_small": q_label_propagation_small,
     }
 
@@ -335,6 +348,55 @@ _AUG_SQL = """
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 _STOPLIST = "('the','a','of','and','to','in','is','on','for','with')"
 
+# rounds the chained-CTE h-index oracle unrolls; must cover convergence on
+# the src<200 subgraph at the driver's sf (fixpoint rounds are no-ops)
+KCORE_ORACLE_ROUNDS = 20
+
+_COSINE_TOPK_SQL = """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])), 6) AS cos
+      FROM q, embeddings e
+      WHERE e.vec_id != q.query_id
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
+      ) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos FROM r WHERE rn <= 5
+"""
+
+_JACCARD_SQL = f"""
+    WITH aug AS ({_AUG_SQL}),
+    norm AS (SELECT doc_id, string_split_regex({_NORM}, ' ') AS t FROM aug),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)] || ' '
+               || t[CAST(i + 2 AS INT)] AS gram
+      FROM norm, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+    inter AS (
+      SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS i
+      FROM grams ga JOIN grams gb
+        ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b,
+           round(i * 1.0 / (sa.n_grams + sb.n_grams - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE i * 1.0 / (sa.n_grams + sb.n_grams - i) >= 0.5
+"""
+
 
 def _lang_score_sql(markers: list[str]) -> str:
     terms = [
@@ -342,6 +404,147 @@ def _lang_score_sql(markers: list[str]) -> str:
         for w in markers
     ]
     return " + ".join(terms)
+
+
+# ---- chained-CTE oracles for the fixed-iteration iterative algorithms ----
+#
+# DuckDB's recursive CTEs can't aggregate over the recursive relation, but a
+# FIXED iteration count unrolls into ordinary chained CTEs — and a fixed
+# count is exactly what makes the comparison deterministic: both engines
+# apply the identical operator the identical number of times (early fixpoint
+# exits on the Spark side are safe because the operators are stationary at
+# their fixpoint).
+
+_FILT_COOCCUR = f"SELECT src, dst FROM ({_COOCCUR_SQL}) WHERE src < 200 AND dst < 200"
+
+
+def _pagerank_fixed_sql(iters: int, seeds: list[int] | None = None) -> str:
+    """PageRank with reference semantics (SURVEY §2.4: init 1.0, msg
+    r/out_deg, new = 0.85·Σ + 0.15/N, dense domain incl. isolated ids, no
+    dangling fix), or the teleport-set variant when ``seeds`` is given."""
+    if seeds is None:
+        init_r = "CAST(1.0 AS DOUBLE)"
+        jump = "0.15 / (SELECT n FROM nv)"
+    else:
+        s = ", ".join(str(int(x)) for x in seeds)
+        init_r = f"CASE WHEN vid IN ({s}) THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END"
+        jump = f"CASE WHEN v.vid IN ({s}) THEN 0.15 / {len(seeds)} ELSE 0.0 END"
+    parts = [
+        f"e AS MATERIALIZED ({_COOCCUR_SQL})",
+        "nv AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n FROM e)",
+        "verts AS MATERIALIZED (SELECT unnest(generate_series(0, (SELECT n - 1 FROM nv))) AS vid)",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS d FROM e GROUP BY src)",
+        f"pr0 AS MATERIALIZED (SELECT vid, {init_r} AS r FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""pr{i} AS MATERIALIZED (
+              SELECT v.vid, 0.85 * coalesce(m.acc, 0) + {jump} AS r
+              FROM verts v LEFT JOIN (
+                SELECT e.dst AS vid, sum(p.r / d.d) AS acc
+                FROM e JOIN pr{i - 1} p ON p.vid = e.src
+                       JOIN deg d ON d.src = e.src
+                GROUP BY e.dst
+              ) m ON m.vid = v.vid
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT vid, round(r, 6) AS rank FROM pr{iters}"
+    )
+
+
+def _lpa_fixed_sql(rounds: int) -> str:
+    """Sync LPA, min-label tiebreak, over the src<200 undirected subgraph."""
+    parts = [
+        f"fe AS MATERIALIZED ({_FILT_COOCCUR})",
+        "und AS MATERIALIZED (SELECT src, dst FROM fe UNION SELECT dst, src FROM fe)",
+        "present AS MATERIALIZED (SELECT DISTINCT src AS vid FROM und)",
+        "l0 AS MATERIALIZED (SELECT vid, vid AS label FROM present)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""b{i} AS MATERIALIZED (
+              SELECT dst AS vid, label AS best FROM (
+                SELECT dst, label,
+                       row_number() OVER (
+                         PARTITION BY dst ORDER BY cnt DESC, label ASC) AS rn
+                FROM (SELECT e.dst, l.label, count(*) AS cnt
+                      FROM und e JOIN l{i - 1} l ON l.vid = e.src
+                      GROUP BY 1, 2)
+              ) WHERE rn = 1
+            )"""
+        )
+        parts.append(
+            f"""l{i} AS MATERIALIZED (
+              SELECT l.vid, coalesce(b.best, l.label) AS label
+              FROM l{i - 1} l LEFT JOIN b{i} b ON b.vid = l.vid
+            )"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT vid, label FROM l{rounds}"
+
+
+def _kcore_hindex_sql(rounds: int) -> str:
+    """Coreness = fixpoint of the neighbor h-index operator starting from
+    degree (Lü et al. 2016); ``rounds`` must cover convergence on this
+    subgraph (extra rounds are no-ops at the fixpoint)."""
+    parts = [
+        f"fe AS MATERIALIZED ({_FILT_COOCCUR})",
+        "und AS MATERIALIZED (SELECT src, dst FROM fe UNION SELECT dst, src FROM fe)",
+        "h0 AS MATERIALIZED (SELECT src AS vid, count(*) AS h FROM und GROUP BY src)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""h{i} AS MATERIALIZED (
+              SELECT vid, max(least(c, rn)) AS h FROM (
+                SELECT e.dst AS vid, s.h AS c,
+                       row_number() OVER (
+                         PARTITION BY e.dst ORDER BY s.h DESC) AS rn
+                FROM und e JOIN h{i - 1} s ON s.vid = e.src
+              ) GROUP BY vid
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT vid, CAST(h AS BIGINT) AS coreness FROM h{rounds}"
+    )
+
+
+def _duck_hex15_to_long(hexpr: str) -> str:
+    """Positional base-16 parse of a 15-char hex string (DuckDB has no
+    conv()); 60 bits fits BIGINT exactly like the Spark side."""
+    terms = [
+        f"(strpos('0123456789abcdef', substring({hexpr}, {i + 1}, 1)) - 1)"
+        f" * CAST({16 ** (14 - i)} AS BIGINT)"
+        for i in range(15)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _simhash_sha60_sql() -> str:
+    h60 = _duck_hex15_to_long("substring(sha256(tok), 1, 15)")
+    vote_cols = ",\n".join(
+        f"      sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60)
+    )
+    fp = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(60)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex({_NORM}, ' ')) AS tok
+          FROM documents
+        ),
+        h AS (
+          SELECT doc_id, {h60} AS h FROM toks WHERE tok != ''
+        ),
+        votes AS (
+          SELECT doc_id,
+{vote_cols}
+          FROM h GROUP BY doc_id
+        )
+        SELECT doc_id, {fp} AS simhash FROM votes
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -398,30 +601,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT *, {pred_sql} AS pred_lang FROM s
         """,
-        "jaccard_near_dup": f"""
-            WITH aug AS ({_AUG_SQL}),
-            norm AS (SELECT doc_id, string_split_regex({_NORM}, ' ') AS t FROM aug),
-            grams AS (
-              SELECT DISTINCT doc_id,
-                     t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)] || ' '
-                       || t[CAST(i + 2 AS INT)] AS gram
-              FROM norm, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
-              WHERE len(t) >= 3
-            ),
-            sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
-            inter AS (
-              SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS i
-              FROM grams ga JOIN grams gb
-                ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
-              GROUP BY 1, 2
-            )
-            SELECT a, b,
-                   round(i * 1.0 / (sa.n_grams + sb.n_grams - i), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = a
-            JOIN sizes sb ON sb.doc_id = b
-            WHERE i * 1.0 / (sa.n_grams + sb.n_grams - i) >= 0.5
-        """,
+        "jaccard_near_dup": _JACCARD_SQL,
         "degree_histogram": f"""
             WITH e AS ({_COOCCUR_SQL}),
             indeg AS (SELECT dst, count(*) AS in_deg FROM e GROUP BY dst)
@@ -430,25 +610,19 @@ def oracle_sql() -> dict[str, str]:
                    max(in_deg) AS max_in_deg
             FROM indeg GROUP BY 1 ORDER BY bucket
         """,
-        "cosine_topk": """
-            WITH q AS (
-              SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3
-            ),
-            scored AS (
-              SELECT q.query_id, e.vec_id,
-                     round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                                  CAST(e.embedding AS DOUBLE[])), 6) AS cos
-              FROM q, embeddings e
-              WHERE e.vec_id != q.query_id
-            ),
-            r AS (
-              SELECT *, row_number() OVER (
-                PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
-              ) AS rn
-              FROM scored
-            )
-            SELECT query_id, vec_id, cos FROM r WHERE rn <= 5
-        """,
+        "cosine_topk": _COSINE_TOPK_SQL,
+        # LSH ANN re-ranks candidates with exact cosine, so its output can
+        # only differ from exact top-k by missed candidates: the exact SQL
+        # is the oracle AND the recall gate.
+        "ann_lsh_topk": _COSINE_TOPK_SQL,
+        # LSH near-dup verifies candidates with exact Jaccard → subset of
+        # the exact pairs; equality with the exact SQL gates recall = 1.0.
+        "minhash_near_dup": _JACCARD_SQL,
+        "simhash": _simhash_sha60_sql(),
+        "pagerank_fixed30": _pagerank_fixed_sql(PR_ITERS),
+        "personalized_pagerank_fixed30": _pagerank_fixed_sql(PR_ITERS, seeds=[1, 2, 3]),
+        "label_propagation_small": _lpa_fixed_sql(10),
+        "kcore_small": _kcore_hindex_sql(KCORE_ORACLE_ROUNDS),
         "edge_extract_bipartite": """
             SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
             FROM lineitem

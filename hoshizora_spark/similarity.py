@@ -18,7 +18,7 @@ Two tiers, mirroring the dedup design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -45,6 +45,34 @@ def with_unit_vectors(embeddings: DataFrame, col: str = "embedding") -> DataFram
     )
 
 
+def _per_query_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Top-k (cos desc, vec_id asc) per query WITHOUT a global window.
+
+    ``row_number().over(Window.partitionBy(query_id))`` ships every corpus
+    score for a query through ONE reducer task — at 10^9 vectors that is a
+    straggler/OOM. Instead: per-(query, partition) top-k partial (bounded
+    heap via sort_array+slice over the partition's rows), then a final
+    merge over ≤ k·num_partitions rows per query — the same
+    TakeOrderedAndProject discipline as ``top_k`` (pagerank.py).
+
+    Sort key: struct(-cos, vec_id) ascending == (cos desc, vec_id asc);
+    negation of a double is exact, so the emitted cos is bit-identical.
+    """
+    item = F.struct((-F.col("cos")).alias("neg"), F.col("vec_id").alias("vec_id"))
+    part = scored.groupBy("query_id", F.spark_partition_id().alias("_p")).agg(
+        F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("top")
+    )
+    merged = part.select("query_id", F.explode("top").alias("t"))
+    fin = merged.groupBy("query_id").agg(
+        F.slice(F.sort_array(F.collect_list("t")), 1, k).alias("top")
+    )
+    return fin.select("query_id", F.explode("top").alias("t")).select(
+        "query_id",
+        F.col("t.vec_id").alias("vec_id"),
+        (-F.col("t.neg")).alias("cos"),
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -54,7 +82,9 @@ def cosine_topk(
     """(query_id, vec_id, cos) — exact top-k neighbors per query vector.
 
     ``queries``: (query_id, embedding). Excludes self-matches
-    (query_id == vec_id). Queries are broadcast — the corpus never moves.
+    (query_id == vec_id). Queries are broadcast — the corpus never moves,
+    each corpus partition scores independently, and the per-partition
+    top-k partial bounds the shuffle at k rows per (query, partition).
     """
     corp = with_unit_vectors(embeddings).select("vec_id", F.col("_unit").alias("cv"))
     qry = with_unit_vectors(queries.withColumnRenamed("embedding", "embedding")).select(
@@ -67,15 +97,7 @@ def cosine_topk(
         "vec_id",
         F.round(_dot(F.col("qv"), F.col("cv")), round_dp).alias("cos"),
     )
-    ranked = scored.withColumn(
-        "_rn",
-        F.row_number().over(
-            Window.partitionBy("query_id").orderBy(
-                F.col("cos").desc(), F.col("vec_id").asc()
-            )
-        ),
-    )
-    return ranked.filter(F.col("_rn") <= k).select("query_id", "vec_id", "cos")
+    return _per_query_topk(scored, k)
 
 
 def cosine_near_dup_pairs(
@@ -187,12 +209,5 @@ def ann_lsh_topk(
             F.round(_dot(F.col("qv"), F.col("cv")), round_dp).alias("cos"),
         )
     )
-    ranked = scored.withColumn(
-        "_rn",
-        F.row_number().over(
-            Window.partitionBy("query_id").orderBy(
-                F.col("cos").desc(), F.col("vec_id").asc()
-            )
-        ),
-    )
-    return ranked.filter(F.col("_rn") <= k).select("query_id", "vec_id", "cos")
+    # candidate set is LSH-bounded, but reuse the windowless top-k anyway
+    return _per_query_topk(scored, k)

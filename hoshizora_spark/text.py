@@ -289,34 +289,57 @@ def minhash_near_dups(
     )
 
 
-def simhash64(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash) — 64-bit fingerprint by per-token hash bit voting.
+def sha_token_hash60(tok_col):
+    """Deterministic 60-bit token hash portable across engines: the first
+    15 hex chars of sha256, parsed base-16. 60 bits (not 64) so the value
+    fits a signed long without sign-bit games in ANSI mode, and so DuckDB
+    can reproduce it with a positional hex-digit sum — the cross-engine
+    oracle hook xxhash64 can't provide."""
+    return F.conv(F.substring(F.sha2(tok_col, 256), 1, 15), 16, 10).cast("long")
 
-    bit b of the fingerprint = majority vote of bit b across all token
-    xxhash64 values. Near-identical docs differ in few bits (Hamming).
-    """
+
+def _simhash(docs: DataFrame, token_hash, bits: int) -> DataFrame:
+    """Shared bit-voting core: bit b of the fingerprint = majority vote of
+    bit b across all token-occurrence hashes (ties -> 0)."""
     tok = docs.select(
         "doc_id", F.explode(tokens(normalized(F.col("text")))).alias("tok")
     ).filter(F.col("tok") != "")
-    h = tok.select("doc_id", F.xxhash64("tok").alias("h"))
+    h = tok.select("doc_id", token_hash(F.col("tok")).alias("h"))
     votes = h.select(
         "doc_id",
         *[
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
             .otherwise(-1)
             .alias(f"b{b}")
-            for b in range(64)
+            for b in range(bits)
         ],
     )
     agg = votes.groupBy("doc_id").agg(
-        *[F.sum(f"b{b}").alias(f"b{b}") for b in range(64)]
+        *[F.sum(f"b{b}").alias(f"b{b}") for b in range(bits)]
     )
     fp = F.lit(0).cast("long")
-    for b in range(64):
-        # bit 63 lands on the sign bit; bitwiseOR keeps it total within long
+    for b in range(bits):
+        # bit 63 would land on the sign bit; bitwiseOR keeps it total within long
         fp = fp.bitwiseOR(
             F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
                 F.lit(0).cast("long")
             )
         )
     return agg.select("doc_id", fp.alias("simhash"))
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 64-bit fingerprint by per-token hash bit voting.
+
+    bit b of the fingerprint = majority vote of bit b across all token
+    xxhash64 values. Near-identical docs differ in few bits (Hamming).
+    """
+    return _simhash(docs, F.xxhash64, 64)
+
+
+def simhash_sha60(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 60-bit SimHash over the portable sha256-prefix
+    token hash. Same voting semantics as ``simhash64``; exists so the
+    fingerprint is bit-reproducible in any engine with sha256 (the
+    cross-engine correctness oracle). xxhash64 stays the fast path."""
+    return _simhash(docs, sha_token_hash60, 60)

@@ -69,3 +69,16 @@ def test_triangle_plan_no_cartesian(spark):
     plan = _plan(triangle_triples(g))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_cosine_topk_has_no_global_window(spark, sf_dir):
+    """The full scored relation must never funnel through a single-task
+    Window (VERDICT r01 weak #1): top-k is a per-partition partial +
+    bounded merge, so the plan contains no Window operator at all."""
+    from hoshizora_spark import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.limit(2).selectExpr("vec_id as query_id", "embedding")
+    plan = _plan(similarity.cosine_topk(emb, q, k=3))
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan

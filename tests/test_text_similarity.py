@@ -136,3 +136,22 @@ def test_hyperplane_signatures_deterministic(spark, emb):
     s1 = {r["vec_id"]: r["sig"] for r in similarity.hyperplane_signatures(emb.limit(50)).collect()}
     s2 = {r["vec_id"]: r["sig"] for r in similarity.hyperplane_signatures(emb.limit(50)).collect()}
     assert s1 == s2
+
+
+def test_simhash_sha60_portable_hash_and_votes(spark, docs_with_dups):
+    """The sha256-prefix token hash must equal a Python-side reimplementation
+    (portability contract with the DuckDB oracle), and the 60-bit variant
+    keeps the same near-dup Hamming behavior as the xxhash64 one."""
+    import hashlib
+
+    fp = {r["doc_id"]: r["simhash"] for r in text.simhash_sha60(docs_with_dups).collect()}
+    for i in range(3):
+        assert fp[i] == fp[i + 2_000_000]
+    for i in range(5):
+        ham = bin((fp[i] ^ fp[i + 1_000_000]) & ((1 << 60) - 1)).count("1")
+        assert ham <= 8, f"doc {i}: hamming {ham}"
+    # spot-check the token hash primitive against hashlib
+    tok_df = spark.createDataFrame([("hello",), ("wörld",)], schema="tok string")
+    got = [r["h"] for r in tok_df.select(text.sha_token_hash60(F.col("tok")).alias("h")).collect()]
+    want = [int(hashlib.sha256(t.encode()).hexdigest()[:15], 16) for t in ("hello", "wörld")]
+    assert got == want
