@@ -263,6 +263,43 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, queries_df, k=5, num_planes=24, bands=12)
 
 
+# ------------------------------------------------- multimodal media ops
+
+
+def _media_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized media corpus (binary content) + 3 injected exact copies.
+    Deterministic digest-derived bytes — same construction in SQL."""
+    from hoshizora_spark import multimodal
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    return multimodal.synthesize_media(d.unionByName(exact))
+
+
+def q_media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality byte-exact dedup over binary media content."""
+    from hoshizora_spark import multimodal
+
+    return multimodal.media_exact_dedup(_media_aug(spark, sf_dir))
+
+
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hoshizora_spark import multimodal
+
+    return multimodal.media_stats(_media_aug(spark, sf_dir))
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded media metadata — exercises the mapInPandas (Arrow) decode
+    path under a full value-hash oracle: the stub codec is a deterministic
+    byte parse DuckDB reproduces from hex(content)."""
+    from hoshizora_spark import multimodal
+
+    return multimodal.decode_media_meta(_media_aug(spark, sf_dir))
+
+
 def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """log2-bucket in-degree histogram — feeds the skew/salting decision."""
     from hoshizora_spark.graph.build import degree_stats
@@ -311,6 +348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "media_dedup_exact": q_media_dedup_exact,
+        "media_stats": q_media_stats,
+        "media_meta": q_media_meta,
         "degree_histogram": q_degree_histogram,
         "kcore_small": q_kcore_small,
         "clustering_modularity": q_clustering_modularity,
@@ -509,6 +549,41 @@ def _kcore_hindex_sql(rounds: int) -> str:
     )
 
 
+_MEDIA_SQL = """
+    SELECT doc_id,
+           CASE (doc_id % 1000000) % 3
+             WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           unhex(sha256(text) || sha256(text || 'x')
+                 || sha256(text || 'y') || sha256(text || 'z')) AS content
+    FROM (SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 3)
+"""
+
+
+def _duck_hexbyte(hexpr: str, i: int) -> str:
+    """Byte i (0-based) of a blob from its uppercase hex string, as BIGINT."""
+    return (
+        f"((strpos('0123456789ABCDEF', substring({hexpr}, {2 * i + 1}, 1)) - 1) * 16"
+        f" + (strpos('0123456789ABCDEF', substring({hexpr}, {2 * i + 2}, 1)) - 1))"
+    )
+
+
+def _media_meta_sql() -> str:
+    b = [_duck_hexbyte("hx", i) for i in range(4)]
+    return f"""
+        WITH media AS MATERIALIZED ({_MEDIA_SQL}),
+        h AS (SELECT doc_id, modality, octet_length(content) AS n_bytes,
+                     hex(content) AS hx
+              FROM media)
+        SELECT doc_id, modality, CAST(n_bytes AS BIGINT) AS n_bytes,
+               CAST(({b[0]} * 256 + {b[1]}) % 1920 + 1 AS INTEGER) AS width,
+               CAST(({b[2]} * 256 + {b[3]}) % 1080 + 1 AS INTEGER) AS height,
+               CAST(CASE WHEN modality = 'image' THEN 3 ELSE 1 END AS INTEGER) AS channels
+        FROM h
+    """
+
+
 def _duck_hex15_to_long(hexpr: str) -> str:
     """Positional base-16 parse of a 15-char hex string (DuckDB has no
     conv()); 60 bits fits BIGINT exactly like the Spark side."""
@@ -619,6 +694,20 @@ def oracle_sql() -> dict[str, str]:
         # the exact pairs; equality with the exact SQL gates recall = 1.0.
         "minhash_near_dup": _JACCARD_SQL,
         "simhash": _simhash_sha60_sql(),
+        "media_dedup_exact": f"""
+            WITH media AS MATERIALIZED ({_MEDIA_SQL})
+            SELECT modality, sha256(hex(content)) AS content_hash,
+                   min(doc_id) AS keep_id, count(*) - 1 AS n_dups
+            FROM media GROUP BY 1, 2
+        """,
+        "media_stats": f"""
+            WITH media AS MATERIALIZED ({_MEDIA_SQL})
+            SELECT modality, count(*) AS n_items,
+                   sum(octet_length(content)) AS total_bytes,
+                   count(DISTINCT sha256(hex(content))) AS distinct_contents
+            FROM media GROUP BY 1
+        """,
+        "media_meta": _media_meta_sql(),
         "pagerank_fixed30": _pagerank_fixed_sql(PR_ITERS),
         "personalized_pagerank_fixed30": _pagerank_fixed_sql(PR_ITERS, seeds=[1, 2, 3]),
         "label_propagation_small": _lpa_fixed_sql(10),

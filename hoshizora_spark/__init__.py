@@ -21,10 +21,10 @@ from hoshizora_spark.algorithms.components import (
     connected_components,
     connected_components_csr,
 )
-from hoshizora_spark.algorithms.kcore import k_core
+from hoshizora_spark.algorithms.kcore import k_core, k_core_hindex
 from hoshizora_spark.algorithms.labelprop import label_propagation
 from hoshizora_spark.algorithms.triangles import triangle_counts, triangle_total
-from hoshizora_spark import similarity, text
+from hoshizora_spark import multimodal, similarity, text
 from hoshizora_spark.io import read_edge_list, read_edges_parquet
 from hoshizora_spark.runtime.checkpoint import CheckpointManager
 from hoshizora_spark.session import get_spark
@@ -43,6 +43,8 @@ __all__ = [
     "top_k",
     "clustering",
     "k_core",
+    "k_core_hindex",
+    "multimodal",
     "connected_components",
     "connected_components_csr",
     "read_edge_list",
