@@ -127,6 +127,30 @@ def main() -> None:
     queries["q5_corpus_pipeline"] = round(time.perf_counter() - t0, 3)
     extras["corpus_edges"] = bundle.num_edges
 
+    # q6: k-core coreness via the h-index iteration (at-scale round structure).
+    t0 = time.perf_counter()
+    from hoshizora_spark import k_core_hindex
+
+    kc = k_core_hindex(g)
+    _ = kc.coreness.count()
+    queries["q6_kcore_hindex"] = round(time.perf_counter() - t0, 3)
+    extras["kcore_max"] = kc.max_core
+    extras["kcore_rounds"] = kc.rounds
+
+    # q7: corpus hygiene + multimodal: exact dedup + MinHash near-dup over
+    # the documents table, byte-exact media dedup + Arrow decode over the
+    # synthesized media corpus.
+    t0 = time.perf_counter()
+    from hoshizora_spark import multimodal, text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    _ = text.exact_dedup(docs).count()
+    extras["minhash_pairs"] = text.minhash_near_dups(docs, threshold=0.5).count()
+    media = multimodal.synthesize_media(docs.select("doc_id", "text"))
+    _ = multimodal.media_exact_dedup(media).count()
+    _ = multimodal.decode_media_meta(media).count()
+    queries["q7_dedup_media"] = round(time.perf_counter() - t0, 3)
+
     edges.unpersist()
     value = max(eps_df, eps_csr)
     extras["edges_per_sec_df"] = round(eps_df)

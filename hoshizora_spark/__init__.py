@@ -22,7 +22,7 @@ from hoshizora_spark.algorithms.components import (
     connected_components_csr,
 )
 from hoshizora_spark.algorithms.kcore import k_core, k_core_hindex
-from hoshizora_spark.algorithms.labelprop import label_propagation
+from hoshizora_spark.algorithms.labelprop import label_propagation, label_propagation_csr
 from hoshizora_spark.algorithms.triangles import triangle_counts, triangle_total
 from hoshizora_spark import multimodal, similarity, text
 from hoshizora_spark.io import read_edge_list, read_edges_parquet
@@ -52,6 +52,7 @@ __all__ = [
     "similarity",
     "text",
     "label_propagation",
+    "label_propagation_csr",
     "triangle_counts",
     "triangle_total",
     "CheckpointManager",

@@ -87,3 +87,80 @@ def label_propagation(
         changed_per_round=[int(c) for c in res.stats],
         wall_ms_per_round=res.wall_ms,
     )
+
+
+class LabelPropKernel:
+    """Keyed GAS form of the LPA superstep (runtime/gas.py KeyedVectorKernel):
+    state = current label (long); per-edge key = the gathered src label;
+    the fold counts labels per dst — the pair-typed accumulator the
+    reference reaches with composite kernel state (clustering_louvain.h:62-75)."""
+
+    state_type = "long"
+
+    def init_expr(self, vid):
+        return vid
+
+    def scatter_key(self, src_vals):
+        return src_vals  # identity: the message IS the label
+
+
+def label_propagation_csr(
+    graph: Graph,
+    max_rounds: int = 20,
+    broadcast_vertices: int = 200_000,
+) -> LabelPropResult:
+    """CSR-block path for LPA — bit-identical labels to the DF path.
+
+    The symmetrized simple graph is built into CSR blocks once; each round
+    runs the keyed gather-scatter (per-block (dst, label) run-length
+    counts through Arrow) + a (dst, label) hash agg + the same
+    (cnt desc, label asc) argmax as the DF path. Hot-vertex fan-in is
+    bounded at num_blocks × distinct labels per dst.
+    """
+    from hoshizora_spark.graph.csr import build_csr_blocks
+    from hoshizora_spark.runtime.gas import gas_keyed_counts, init_state
+
+    spark = graph.spark
+    V = graph.num_vertices
+    sym_graph = Graph(edges=symmetrize(graph.edges), num_vertices=V)
+    csr = build_csr_blocks(sym_graph)
+    kernel = LabelPropKernel()
+
+    def step(state: DataFrame, it: int) -> DataFrame:
+        freq = gas_keyed_counts(csr, state, kernel)
+        best = (
+            freq.groupBy("dst")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("key")).alias("neg_label"))
+                ).alias("top")
+            )
+            .select("dst", (-F.col("top.neg_label")).alias("best_label"))
+        )
+        best = maybe_broadcast(best, V, broadcast_vertices)
+        return state.join(best, state.vid == best.dst, "left").select(
+            "vid",
+            "block_id",
+            F.coalesce(F.col("best_label"), F.col("val")).alias("val"),
+            F.col("val").alias("old_val"),
+        )
+
+    res = bsp_loop(
+        spark,
+        init=lambda: init_state(spark, csr, kernel),
+        step=step,
+        stat=lambda nxt: float(nxt.filter(F.col("val") != F.col("old_val")).count()),
+        done=lambda changed: changed == 0,
+        restore=lambda df: df.select("vid", "val", "block_id"),
+        max_iters=max_rounds,
+        edges_per_iter=csr.num_edges,
+        metric_kind="changed",
+    )
+    csr.unpersist()
+    return LabelPropResult(
+        labels=res.state.select("vid", F.col("val").alias("label")),
+        rounds=res.iterations,
+        converged=res.converged,
+        changed_per_round=[int(c) for c in res.stats],
+        wall_ms_per_round=res.wall_ms,
+    )

@@ -98,6 +98,52 @@ class Graph:
             num_vertices = int(row["mx"]) + 1 if row and row["mx"] is not None else 0
         return Graph(edges=edges, num_vertices=num_vertices)
 
+    @staticmethod
+    def from_adjacency(
+        adj: DataFrame,
+        dedup: bool = False,
+        num_vertices: int | None = None,
+    ) -> "Graph":
+        """Build from an adjacency-list frame ``(vid: long, neighbors: array<long>)``.
+
+        Mirrors the reference's ``from_adjacency_list`` (core/graph.h:551-622):
+        the vertex domain is the number of adjacency rows (packed ids are a
+        precondition there, graph.h:549-550) — vertices with empty neighbor
+        lists still count, unlike the max-id rule of ``from_edges``. The
+        reference keeps duplicate neighbors on the out-CSR but dedups
+        in-edges through a ``std::set`` (graph.h:556,568-570) — an
+        asymmetry one edge set can't carry, so it is a flag here:
+        ``dedup=False`` reproduces the out-edge (scatter-side) view with
+        multi-edges, ``dedup=True`` the in-edge (gather-side) view.
+        """
+        if num_vertices is None:
+            row = adj.agg(F.count(F.lit(1)).alias("n"), F.max("vid").alias("mx")).first()
+            mx = int(row["mx"]) + 1 if row and row["mx"] is not None else 0
+            num_vertices = max(int(row["n"]) if row else 0, mx)
+        edges = adj.select(
+            F.col("vid").cast("long").alias("src"), F.explode("neighbors").alias("dst")
+        ).select("src", F.col("dst").cast("long").alias("dst"))
+        if dedup:
+            edges = edges.distinct()
+        return Graph(edges=edges, num_vertices=num_vertices)
+
+    def to_adjacency(self) -> DataFrame:
+        """(vid, neighbors: array<long>) — inverse of ``from_adjacency``;
+        neighbors sorted for determinism, empty arrays for isolated ids."""
+        nbrs = self.edges.groupBy(F.col("src").alias("vid")).agg(
+            F.sort_array(F.collect_list("dst")).alias("neighbors")
+        )
+        return (
+            self.vertices()
+            .join(nbrs, "vid", "left")
+            .select(
+                "vid",
+                F.coalesce("neighbors", F.expr("CAST(array() AS array<long>)")).alias(
+                    "neighbors"
+                ),
+            )
+        )
+
     @property
     def spark(self) -> SparkSession:
         return self.edges.sparkSession

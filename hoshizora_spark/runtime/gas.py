@@ -123,6 +123,72 @@ def gas_messages(csr: CsrBlocks, state: DataFrame, kernel: VectorKernel) -> Data
     return partial.groupBy("dst").agg(agg("acc").alias("acc"))
 
 
+class KeyedVectorKernel(Protocol):
+    """GAS kernel whose per-dst accumulator is a (key → count) map — the
+    struct-valued fold the scalar sum/min/max monoid can't express.
+
+    This is the CSR-path generalization the reference reaches with
+    pair-typed state + a side-band ``changed`` flag in its kernel ``sum``
+    (clustering_louvain.h:62-75); label propagation's per-(dst, label)
+    counting is the canonical instance. ``scatter_key`` maps gathered src
+    states to a per-edge integer key; the fold counts occurrences per
+    (dst, key); the argmax/tiebreak over the map happens algorithm-side on
+    the (dst, key, cnt) frame.
+    """
+
+    state_type: str  # Spark type of the vertex state column, e.g. 'long'
+
+    def init_expr(self, vid: Column) -> Column:
+        ...
+
+    def scatter_key(self, src_vals: np.ndarray) -> np.ndarray:
+        """Per-edge key from gathered src state (identity for LPA)."""
+        ...
+
+
+def gas_keyed_counts(csr: CsrBlocks, state: DataFrame, kernel: KeyedVectorKernel) -> DataFrame:
+    """(dst, key, cnt) after the full fold — the keyed analogue of
+    ``gas_messages``. Per block: gather src states in dst-sorted order,
+    map to keys, run-length-encode consecutive (dst, key) runs after an
+    in-block lexsort — O(E log E) numpy per block, emitting at most
+    distinct-(dst, key)-per-block rows into the exchange. A hot vertex's
+    fan-in is bounded at num_blocks × distinct keys, the same built-in
+    skew bound as the scalar path."""
+    path = csr.path
+    scatter_key = kernel.scatter_key
+
+    def run_block(key, state_pdf: pd.DataFrame) -> pd.DataFrame:
+        from hoshizora_spark.graph.csr import load_block
+
+        lo, hi, _off, _idx, _w, src_sorted, _w_sorted, uniq_dst, starts = load_block(
+            path, int(key[0])
+        )
+        n_edges = len(src_sorted)
+        if n_edges == 0:
+            return pd.DataFrame({"dst": [], "key": [], "cnt": []}).astype(
+                {"dst": np.int64, "key": np.int64, "cnt": np.int64}
+            )
+        vals = np.zeros(hi - lo, dtype=np.int64)
+        vids = state_pdf["vid"].to_numpy(np.int64)
+        vals[vids - lo] = state_pdf["val"].to_numpy(np.int64)
+        keys = scatter_key(vals[src_sorted])
+        seg_lens = np.diff(np.r_[starts, n_edges])
+        dst_idx = np.repeat(np.arange(len(uniq_dst), dtype=np.int64), seg_lens)
+        order = np.lexsort((keys, dst_idx))
+        kd, kl = dst_idx[order], keys[order]
+        head = np.r_[True, (kd[1:] != kd[:-1]) | (kl[1:] != kl[:-1])]
+        idx = np.flatnonzero(head)
+        cnt = np.diff(np.r_[idx, n_edges])
+        return pd.DataFrame(
+            {"dst": uniq_dst[kd[idx]], "key": kl[idx], "cnt": cnt.astype(np.int64)}
+        )
+
+    partial = state.groupby("block_id").applyInPandas(
+        run_block, schema="dst long, key long, cnt long"
+    )
+    return partial.groupBy("dst", "key").agg(F.sum("cnt").alias("cnt"))
+
+
 def gas_step(
     csr: CsrBlocks,
     state: DataFrame,

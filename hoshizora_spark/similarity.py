@@ -160,12 +160,15 @@ def ann_lsh_topk(
     num_planes: int = 16,
     bands: int = 4,
     round_dp: int = 6,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """(query_id, vec_id, cos) — approximate top-k via LSH bucket join.
 
     Candidates = vectors sharing ≥1 signature band with the query; exact
     cosine re-rank on candidates only. Recall grows with bands; the
     bucket join replaces the crossJoin so work is ~O(candidates·d).
+    ``max_bucket_size`` thins degenerate corpus buckets (all-identical
+    embeddings) by deterministic hash-sampling — see text.cap_bucket_size.
     """
     rows = num_planes // bands
     sig_c = hyperplane_signatures(embeddings, num_planes)
@@ -192,6 +195,10 @@ def ann_lsh_topk(
         ).select(idc, "bb.band", "bb.bucket")
 
     bc = banded(sig_c, "vec_id", F.col("sig"))
+    if max_bucket_size is not None:
+        from hoshizora_spark.text import cap_bucket_size
+
+        bc = cap_bucket_size(bc, ["band", "bucket"], "vec_id", max_bucket_size)
     bq = banded(sig_q, "query_id", F.col("qsig"))
     cand = bc.join(bq, ["band", "bucket"]).select("query_id", "vec_id").distinct()
 

@@ -210,15 +210,55 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3) -> Dat
     )
 
 
+def cap_bucket_size(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket_size: int,
+) -> DataFrame:
+    """Bound any LSH bucket at ~``max_bucket_size`` members.
+
+    A degenerate corpus (an all-near-identical crawl shard) puts everything
+    in one bucket and makes the candidate self-join quadratic. Oversized
+    buckets are thinned by deterministic hash-sampling (keep rows where
+    hash(id, bucket) ≡ 0 mod ceil(size/cap)) — no per-bucket sort or
+    collect, so the thinning itself never concentrates a hot bucket on one
+    task. Rationale: members of a mega-bucket are mutual near-dups with
+    overwhelming probability; exact dedup already collapses the identical
+    ones, and a sampled subset still surfaces the cluster. Buckets at or
+    under the cap pass through untouched (the common case — output is
+    unchanged unless a bucket actually degenerates).
+    """
+    sizes = banded.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bsz"))
+    stride = F.ceil(F.col("_bsz") / F.lit(max_bucket_size)).cast("long")
+    return (
+        banded.join(sizes, bucket_cols)
+        .filter(
+            (F.col("_bsz") <= max_bucket_size)
+            | (
+                F.pmod(
+                    F.xxhash64(F.col(id_col), *[F.col(c) for c in bucket_cols]), stride
+                )
+                == 0
+            )
+        )
+        .drop("_bsz")
+    )
+
+
 def minhash_lsh_candidates(
-    docs: DataFrame, num_hashes: int = 32, bands: int = 8, n: int = 3
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """(a, b) candidate near-dup pairs from banded MinHash buckets.
 
     bands × rows-per-band = num_hashes; pairs colliding in ≥1 band emerge.
     The bucket join groups on (band, bucket_hash) so hot buckets are the
-    only skew surface — cap with a per-bucket limit upstream if a
-    degenerate corpus (all-identical docs) is possible.
+    only skew surface; ``max_bucket_size`` bounds them (cap_bucket_size)
+    so a degenerate all-identical shard can't go quadratic.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, n)
@@ -244,6 +284,8 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        banded = cap_bucket_size(banded, ["band", "bucket"], "doc_id", max_bucket_size)
     left = banded.select(F.col("doc_id").alias("a"), "band", "bucket")
     right = banded.select(F.col("doc_id").alias("b"), "band", "bucket")
     return (
@@ -260,9 +302,10 @@ def minhash_near_dups(
     num_hashes: int = 32,
     bands: int = 8,
     n: int = 3,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard — the at-scale near-dup op."""
-    cand = minhash_lsh_candidates(docs, num_hashes, bands, n)
+    cand = minhash_lsh_candidates(docs, num_hashes, bands, n, max_bucket_size)
     g = word_ngrams(docs, n)
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     ga = g.select(F.col("doc_id").alias("a"), "gram")

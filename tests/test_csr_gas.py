@@ -76,3 +76,24 @@ def test_csr_block_invariants(spark):
         in_block = (vids >= r["lo"]) & (vids < r["hi"])
         assert (bids[in_block] == r["block_id"]).all()
     csr.unpersist()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["g1_chain", "g2_cycle", "g3_star", "g4_two_triangles_bridge",
+     "g5_multi_dup_isolated", "g6_powerlaw", "g7_bipartite"],
+)
+def test_lpa_csr_bitmatches_df_path(spark, name):
+    """Keyed CSR kernel (per-(dst,label) counts) must reproduce the DF
+    path's labels exactly, round-for-round, on every fixture — the same
+    equivalence discipline as the scalar pagerank/cc CSR tests."""
+    from hoshizora_spark import label_propagation
+    from hoshizora_spark.algorithms.labelprop import label_propagation_csr
+
+    g = _graph(spark, name)
+    df_res = label_propagation(g, max_rounds=10)
+    csr_res = label_propagation_csr(g, max_rounds=10)
+    df_rows = {r["vid"]: r["label"] for r in df_res.labels.collect()}
+    csr_rows = {r["vid"]: r["label"] for r in csr_res.labels.collect()}
+    assert df_rows == csr_rows, f"{name}: CSR labels diverge from DF labels"
+    assert df_res.rounds == csr_res.rounds

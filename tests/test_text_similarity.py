@@ -155,3 +155,39 @@ def test_simhash_sha60_portable_hash_and_votes(spark, docs_with_dups):
     got = [r["h"] for r in tok_df.select(text.sha_token_hash60(F.col("tok")).alias("h")).collect()]
     want = [int(hashlib.sha256(t.encode()).hexdigest()[:15], 16) for t in ("hello", "wörld")]
     assert got == want
+
+
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    """An all-identical corpus puts every doc in one bucket per band; the
+    cap must bound the candidate join instead of going quadratic, while
+    exact dedup still owns the identical-content collapse."""
+    n = 400
+    docs = spark.createDataFrame(
+        [(i, "the same exact document body repeated many times over") for i in range(n)],
+        schema="doc_id long, text string",
+    )
+    capped = text.minhash_lsh_candidates(docs, max_bucket_size=20).count()
+    assert 0 < capped < 3000  # uncapped would be C(400,2) = 79800 pairs
+    dedup = text.exact_dedup(docs).collect()
+    assert len(dedup) == 1 and dedup[0]["n_dups"] == n - 1
+
+
+def test_lsh_bucket_cap_noop_below_cap(spark, docs_with_dups):
+    """Default cap (10k) must leave ordinary corpora untouched."""
+    capped = {(r["a"], r["b"]) for r in
+              text.minhash_lsh_candidates(docs_with_dups).collect()}
+    uncapped = {(r["a"], r["b"]) for r in
+                text.minhash_lsh_candidates(docs_with_dups, max_bucket_size=None).collect()}
+    assert capped == uncapped
+
+
+def test_ann_bucket_cap_completes_on_identical_embeddings(spark):
+    import numpy as np
+
+    vecs = [(i, [0.1, 0.2, 0.3, 0.4]) for i in range(300)]
+    emb = spark.createDataFrame(vecs, schema="vec_id long, embedding array<double>")
+    q = emb.limit(2).selectExpr("vec_id as query_id", "embedding")
+    res = similarity.ann_lsh_topk(emb, q, k=3, max_bucket_size=25)
+    rows = res.collect()
+    assert 0 < len(rows) <= 6
+    assert all(abs(r["cos"] - 1.0) < 1e-9 for r in rows)
