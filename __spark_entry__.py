@@ -584,6 +584,120 @@ def _media_meta_sql() -> str:
     """
 
 
+def _clustering_fixed_sql(
+    levels: int = 6,
+    jump_hops: int = 10,
+    hint: int = 10,
+    threshold: float = 3e-5,
+) -> str:
+    """Louvain-with-coarsening oracle: the full driver loop (best-gain move
+    pass → pointer-jump smoothing → ascending dense pack → coarsen) unrolled
+    ``levels`` times with a freeze flag that turns post-stop levels into
+    passthroughs — emulating the data-dependent `while` exactly, because the
+    Spark side always packs before checking its stop condition.
+
+    Float safety: every weight/e_ii is a sum of 1.0s (exact integers in
+    doubles), so q = int/(2M), gain = 2·(int/(2M) − q·q) are computed from
+    identical operands in both engines → bit-identical, and the
+    (gain desc, src asc) argmax and `gain > threshold` cut cannot diverge.
+    """
+    parts = [
+        f"fe AS MATERIALIZED ({_FILT_COOCCUR})",
+        "mm AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS m FROM fe)",
+        "nv AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n FROM fe)",
+        "verts AS MATERIALIZED (SELECT unnest(generate_series(0, (SELECT n - 1 FROM nv))) AS vid)",
+        "a0 AS MATERIALIZED (SELECT vid, vid AS coarse FROM verts)",
+        "e0 AS MATERIALIZED (SELECT src, dst, CAST(1.0 AS DOUBLE) AS w FROM fe WHERE src != dst)",
+        "p0 AS MATERIALIZED (SELECT vid AS cid, CAST(0.0 AS DOUBLE) AS e_ii FROM verts)",
+        "s0 AS MATERIALIZED (SELECT FALSE AS done)",
+    ]
+    for l in range(1, levels + 1):
+        pv, ev, av, sv = f"p{l - 1}", f"e{l - 1}", f"a{l - 1}", f"s{l - 1}"
+        parts += [
+            f"""ow{l} AS MATERIALIZED (
+              SELECT src AS cid, sum(w) AS ow FROM {ev} GROUP BY 1)""",
+            f"""iw{l} AS MATERIALIZED (
+              SELECT dst AS cid, sum(w) AS iw FROM {ev} GROUP BY 1)""",
+            f"""q{l} AS MATERIALIZED (
+              SELECT p.cid,
+                     (p.e_ii + coalesce(o.ow, 0.0) + coalesce(i.iw, 0.0))
+                       / (2.0 * (SELECT m FROM mm)) AS q
+              FROM {pv} p
+              LEFT JOIN ow{l} o ON o.cid = p.cid
+              LEFT JOIN iw{l} i ON i.cid = p.cid)""",
+            f"""g{l} AS MATERIALIZED (
+              SELECT e.src, e.dst,
+                     2.0 * (e.w / (2.0 * (SELECT m FROM mm)) - qs.q * qd.q) AS gain
+              FROM {ev} e
+              JOIN q{l} qs ON qs.cid = e.src
+              JOIN q{l} qd ON qd.cid = e.dst)""",
+            f"""b{l} AS MATERIALIZED (
+              SELECT dst, src FROM (
+                SELECT dst, src, row_number() OVER (
+                  PARTITION BY dst ORDER BY gain DESC, src ASC) AS rn
+                FROM g{l} WHERE gain > {threshold!r}
+              ) WHERE rn = 1)""",
+            f"""mv{l} AS MATERIALIZED (
+              SELECT p.cid,
+                     CASE WHEN b.src IS NOT NULL
+                          THEN least(b.src, p.cid) ELSE p.cid END AS new_label,
+                     b.src IS NOT NULL AS moved
+              FROM {pv} p LEFT JOIN b{l} b ON b.dst = p.cid)""",
+            f"j{l}_0 AS MATERIALIZED (SELECT cid, new_label FROM mv{l})",
+        ]
+        for h in range(1, jump_hops + 1):
+            parts.append(
+                f"""j{l}_{h} AS MATERIALIZED (
+                  SELECT x.cid, coalesce(y.new_label, x.new_label) AS new_label
+                  FROM j{l}_{h - 1} x LEFT JOIN j{l}_{h - 1} y ON y.cid = x.new_label)"""
+            )
+        jf = f"j{l}_{jump_hops}"
+        parts += [
+            f"""pk{l} AS MATERIALIZED (
+              SELECT lbl, row_number() OVER (ORDER BY lbl) - 1 AS packed
+              FROM (SELECT DISTINCT new_label AS lbl FROM {jf}))""",
+            f"""cm{l} AS MATERIALIZED (
+              SELECT j.cid, pk.packed FROM {jf} j JOIN pk{l} pk ON pk.lbl = j.new_label)""",
+            f"""st{l} AS MATERIALIZED (
+              SELECT (SELECT count(*) FROM pk{l}) AS k,
+                     (SELECT count(*) FROM mv{l} WHERE moved) > 0 AS any_moved)""",
+            f"""a{l} AS MATERIALIZED (
+              SELECT a.vid,
+                     CASE WHEN (SELECT done FROM {sv}) THEN a.coarse
+                          ELSE cm.packed END AS coarse
+              FROM {av} a LEFT JOIN cm{l} cm ON cm.cid = a.coarse)""",
+            f"""s{l} AS MATERIALIZED (
+              SELECT CASE WHEN (SELECT done FROM {sv}) THEN TRUE
+                          ELSE NOT ((SELECT k FROM st{l}) > {hint}
+                                    AND (SELECT any_moved FROM st{l})) END AS done)""",
+            f"""r{l} AS MATERIALIZED (
+              SELECT cs.packed AS c_src, cd.packed AS c_dst, sum(e.w) AS w
+              FROM {ev} e
+              JOIN cm{l} cs ON cs.cid = e.src
+              JOIN cm{l} cd ON cd.cid = e.dst
+              GROUP BY 1, 2)""",
+            f"""e{l} AS MATERIALIZED (
+              SELECT src, dst, w FROM {ev} WHERE (SELECT done FROM s{l})
+              UNION ALL
+              SELECT c_src AS src, c_dst AS dst, w FROM r{l}
+              WHERE c_src != c_dst AND NOT (SELECT done FROM s{l}))""",
+            f"""p{l} AS MATERIALIZED (
+              SELECT cid, e_ii FROM {pv} WHERE (SELECT done FROM s{l})
+              UNION ALL
+              SELECT ca.packed AS cid,
+                     ca.old_eii + coalesce(ir.intra_w, 0.0) AS e_ii
+              FROM (SELECT cm.packed, sum(p.e_ii) AS old_eii
+                    FROM {pv} p JOIN cm{l} cm ON cm.cid = p.cid GROUP BY 1) ca
+              LEFT JOIN (SELECT c_src AS cid, w AS intra_w
+                         FROM r{l} WHERE c_src = c_dst) ir ON ir.cid = ca.packed
+              WHERE NOT (SELECT done FROM s{l}))""",
+        ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT vid, CAST(coarse AS BIGINT) AS cluster FROM a{levels}"
+    )
+
+
 def _duck_hex15_to_long(hexpr: str) -> str:
     """Positional base-16 parse of a 15-char hex string (DuckDB has no
     conv()); 60 bits fits BIGINT exactly like the Spark side."""
@@ -712,6 +826,7 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank_fixed30": _pagerank_fixed_sql(PR_ITERS, seeds=[1, 2, 3]),
         "label_propagation_small": _lpa_fixed_sql(10),
         "kcore_small": _kcore_hindex_sql(KCORE_ORACLE_ROUNDS),
+        "clustering_modularity": _clustering_fixed_sql(),
         "edge_extract_bipartite": """
             SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
             FROM lineitem

@@ -10,8 +10,14 @@ The reference exposes exactly two functions via pybind11
 These wrappers reproduce that surface (same defaults, same return shapes —
 pagerank stringifies ranks exactly like app/pagerank.h:43-50 ``to_string``)
 on top of the Spark engine, so a reference user can switch imports and run.
-Collecting V results to the driver is inherent to the reference API; the
-native engine API (``hoshizora_spark.pagerank`` etc.) returns DataFrames.
+
+WARNING — small-graph-only surface: the reference API's return type forces
+``collect()`` of one Python object per vertex onto the driver. At 10^6+
+vertices that is gigabytes of driver heap and minutes of serialization; at
+link-graph scale (10^9+) it will OOM the driver outright. This module
+exists for drop-in parity on reference-sized inputs (≈5M edges, io.h:43).
+Anything larger must use the native API (``hoshizora_spark.pagerank`` /
+``clustering``), which returns DataFrames and writes results distributed.
 """
 
 from __future__ import annotations

@@ -48,11 +48,46 @@ def streaming_degrees(edge_stream: DataFrame) -> DataFrame:
     ``update`` output mode + a sink (Delta/Iceberg/parquet at cluster
     scale) gives a live degree table; the skew histogram that drives
     salting decisions reads from it for free.
+
+    State note: this keeps one state row per vertex EVER seen — that is
+    the point of a total-degree table, but at a 10^12-vertex domain the
+    state store becomes the bottleneck. When only recent activity matters
+    (the common case for salting decisions — hot NOW is what skews the
+    next superstep), use ``streaming_degrees_windowed``: its watermark
+    expires state so the store holds only the active window.
     """
     out_deg = edge_stream.groupBy(F.col("src").alias("vid")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
     return out_deg
+
+
+def streaming_degrees_windowed(
+    edge_stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-vertex out-degree within tumbling event-time windows — the
+    state-bounded degree view for unbounded vertex domains.
+
+    The watermark finalizes and DROPS window state older than
+    max(event time) − watermark, so the state store is O(active vertices
+    per window), not O(vertices ever seen). Requires an event-time column
+    (``ts_col``); file/Kafka edge feeds carry one naturally.
+    """
+    st = edge_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        st.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), F.col("src").alias("vid"))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "vid",
+            "out_deg",
+        )
+    )
 
 
 def windowed_event_counts(

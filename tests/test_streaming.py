@@ -98,3 +98,42 @@ def test_windowed_event_counts_streaming(spark, sf_dir, tmp_path):
             assert want[k] == v
     finally:
         q.stop()
+
+
+def test_streaming_degrees_windowed_state_bounded(spark, tmp_path):
+    """Windowed degrees: state expires past the watermark (the TTL story
+    streaming_degrees lacks by design), values match a batch window count."""
+    from hoshizora_spark.streaming.ingest import streaming_degrees_windowed
+
+    events = spark.createDataFrame(
+        [("2024-01-01 00:01:00", 0, 1), ("2024-01-01 00:02:00", 0, 2),
+         ("2024-01-01 00:03:00", 1, 2), ("2024-01-01 02:00:00", 0, 3)],
+        schema="ts string, src long, dst long",
+    )
+    # batch semantics check (watermark no-op on bounded data)
+    got = {
+        (str(r["window_start"]), r["vid"]): r["out_deg"]
+        for r in streaming_degrees_windowed(events, window="10 minutes").collect()
+    }
+    assert got[("2024-01-01 00:00:00", 0)] == 2
+    assert got[("2024-01-01 00:00:00", 1)] == 1
+    assert got[("2024-01-01 02:00:00", 0)] == 1
+
+    # streaming: finalized (watermark-expired) windows are emitted in append
+    # mode — exactly the state-dropping behavior the TTL relies on
+    stream_dir = tmp_path / "edges_ts"
+    events.coalesce(1).write.parquet(str(stream_dir))
+    stream = spark.readStream.schema(events.schema).parquet(str(stream_dir))
+    res = streaming_degrees_windowed(stream, window="10 minutes", watermark="30 minutes")
+    q = res.writeStream.format("memory").queryName("degw_sink").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM degw_sink").collect()
+        finalized = {(str(r["window_start"]), r["vid"]): r["out_deg"] for r in rows}
+        # the 00:00 window is > 30 min behind max(ts)=02:00 -> finalized
+        assert finalized[("2024-01-01 00:00:00", 0)] == 2
+        assert finalized[("2024-01-01 00:00:00", 1)] == 1
+        # the 02:00 window is still open -> not emitted
+        assert ("2024-01-01 02:00:00", 0) not in finalized
+    finally:
+        q.stop()
