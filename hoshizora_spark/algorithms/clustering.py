@@ -97,14 +97,21 @@ def _best_moves(
 
 
 def _pointer_jump(labels: DataFrame, num_coarse: int, max_hops: int = 64) -> DataFrame:
-    """label[v] <- label[label[v]] to fixpoint (apps.h:100-110)."""
+    """label[v] <- label[label[v]] to fixpoint (apps.h:100-110).
+
+    The changed-count rides the localCheckpoint job as an observed metric —
+    one Spark job per hop, not two.
+    """
+    from pyspark.sql import Observation
+
     cur = labels.localCheckpoint(eager=True)
-    for _ in range(max_hops):
+    for hop_i in range(max_hops):
         hop = maybe_broadcast(
             cur.select(F.col("cid").alias("jcid"), F.col("new_label").alias("jlabel")),
             num_coarse,
             200_000,
         )
+        obs = Observation(f"hz_jump_{hop_i}")
         nxt = (
             cur.join(hop, cur.new_label == hop.jcid, "left")
             .select(
@@ -112,8 +119,9 @@ def _pointer_jump(labels: DataFrame, num_coarse: int, max_hops: int = 64) -> Dat
                 F.coalesce("jlabel", "new_label").alias("new_label"),
                 (F.coalesce("jlabel", "new_label") != F.col("new_label")).alias("ch"),
             )
+            .observe(obs, F.sum(F.col("ch").cast("long")).alias("changed"))
         ).localCheckpoint(eager=True)
-        changed = nxt.filter(F.col("ch")).count()
+        changed = int(obs.get.get("changed") or 0)
         cur = nxt.select("cid", "new_label")
         if changed == 0:
             break

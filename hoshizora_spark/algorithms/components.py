@@ -78,7 +78,7 @@ def connected_components(
         spark,
         init=lambda: graph.vertices().withColumn("label", F.col("vid")),
         step=step,
-        stat=lambda nxt: float(nxt.filter(F.col("label") != F.col("old_label")).count()),
+        stat_expr=F.sum((F.col("label") != F.col("old_label")).cast("long")),
         done=lambda changed: changed == 0,
         restore=lambda df: df.select("vid", "label"),
         max_iters=max_rounds,
@@ -138,7 +138,7 @@ def connected_components_csr(
         spark,
         init=lambda: init_state(spark, csr, kernel),
         step=lambda state, it: gas_step(csr, state, kernel),
-        stat=lambda nxt: float(nxt.filter(F.col("new_val") != F.col("old_val")).count()),
+        stat_expr=F.sum((F.col("new_val") != F.col("old_val")).cast("long")),
         done=lambda changed: changed == 0,
         restore=lambda df: df.select("vid", F.col("new_val").alias("val"), "block_id"),
         max_iters=max_rounds,

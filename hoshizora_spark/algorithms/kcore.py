@@ -35,6 +35,8 @@ class KCoreResult:
     coreness: DataFrame  # (vid: long, coreness: long) over the full domain
     max_core: int
     rounds: int
+    wall_ms_per_round: list[float] | None = None
+    changed_per_round: list[int] | None = None
 
 
 def k_core(graph: Graph, max_rounds: int = 10_000) -> KCoreResult:
@@ -95,15 +97,20 @@ def k_core_hindex(
     shuffle each instead of thousands of sequential peel jobs.
 
     Plan per round (all Catalyst-native):
-      1. neighbor values: sym-edges ⋈ state(src) ⋈ state(dst); each value
-         clipped to dst's own current h — a pure optimization (h can never
-         exceed its current value, proven monotone), which bounds the
-         per-(vid, c) histogram domain.
+      1. neighbor values: sym-edges ⋈ state(src). Deliberately NOT also
+         joined against state(dst) to clip values (a semantically-free
+         optimization): a third reference to the checkpointed state in one
+         plan makes Catalyst analysis time grow ~2.6× PER ROUND (measured:
+         flat 0.8 s/round without it, 110 s/round by round 21 with it —
+         see CLAUDE.md gotcha). Two references (the message join + the
+         apply join) are safe.
       2. groupBy(vid, c).count — partial+final hash agg, so a hot vertex
-         receives at most (num_partitions × distinct clipped values) rows.
-      3. per-vid fold over the ≤ h_cur+1 histogram entries sorted by c
-         desc: cum += cnt; h_new = max(min(c, cum)) — an O(h_cur) array
-         aggregate, never an O(degree) window.
+         receives at most (num_partitions × distinct neighbor h values)
+         rows; distinct h values are bounded by the global distinct-degree
+         count (O(√E) on power-law graphs), not by degree.
+      3. per-vid fold over the histogram entries sorted by c desc:
+         cum += cnt; h_new = max(min(c, cum)) — an O(distinct values)
+         array aggregate, never an O(degree) window.
     """
     spark = graph.spark
     V = graph.num_vertices
@@ -123,14 +130,8 @@ def k_core_hindex(
             state.select(F.col("vid").alias("src"), F.col("h").alias("hs")),
             V, broadcast_vertices,
         )
-        st_dst = maybe_broadcast(
-            state.select(F.col("vid").alias("dst"), F.col("h").alias("hd")),
-            V, broadcast_vertices,
-        )
-        nbr = (
-            sym.join(st_src, "src")
-            .join(st_dst, "dst")
-            .select(F.col("dst").alias("vid"), F.least("hs", "hd").alias("c"))
+        nbr = sym.join(st_src, "src").select(
+            F.col("dst").alias("vid"), F.col("hs").alias("c")
         )
         hist = nbr.groupBy("vid", "c").agg(F.count(F.lit(1)).alias("cnt"))
         entries = hist.groupBy("vid").agg(
@@ -165,7 +166,7 @@ def k_core_hindex(
         spark,
         init=init,
         step=step,
-        stat=lambda nxt: float(nxt.filter(F.col("h") != F.col("old_h")).count()),
+        stat_expr=F.sum((F.col("h") != F.col("old_h")).cast("long")),
         done=lambda changed: changed == 0,
         restore=lambda df: df.select("vid", "h"),
         max_iters=max_rounds,
@@ -176,5 +177,9 @@ def k_core_hindex(
     coreness = res.state.select("vid", F.col("h").cast("long").alias("coreness"))
     mx = coreness.agg(F.max("coreness")).first()[0]
     return KCoreResult(
-        coreness=coreness, max_core=int(mx or 0), rounds=res.iterations
+        coreness=coreness,
+        max_core=int(mx or 0),
+        rounds=res.iterations,
+        wall_ms_per_round=res.wall_ms,
+        changed_per_round=[int(c) for c in res.stats],
     )

@@ -71,7 +71,7 @@ def label_propagation(
         spark,
         init=lambda: graph.vertices().withColumn("label", F.col("vid")),
         step=step,
-        stat=lambda nxt: float(nxt.filter(F.col("label") != F.col("old_label")).count()),
+        stat_expr=F.sum((F.col("label") != F.col("old_label")).cast("long")),
         done=lambda changed: changed == 0,
         restore=lambda df: df.select("vid", "label"),
         max_iters=max_rounds,
@@ -149,7 +149,7 @@ def label_propagation_csr(
         spark,
         init=lambda: init_state(spark, csr, kernel),
         step=step,
-        stat=lambda nxt: float(nxt.filter(F.col("val") != F.col("old_val")).count()),
+        stat_expr=F.sum((F.col("val") != F.col("old_val")).cast("long")),
         done=lambda changed: changed == 0,
         restore=lambda df: df.select("vid", "val", "block_id"),
         max_iters=max_rounds,

@@ -144,9 +144,7 @@ def pagerank(
         spark,
         init=lambda: graph.vertices().withColumn("rank", F.lit(1.0)),
         step=step,
-        stat=lambda nxt: float(
-            nxt.agg(F.max(F.abs(F.col("new_rank") - F.col("old_rank")))).first()[0] or 0.0
-        ),
+        stat_expr=F.max(F.abs(F.col("new_rank") - F.col("old_rank"))),
         done=lambda d: tol is not None and d <= tol,
         restore=lambda df: df.select("vid", F.col("new_rank").alias("rank")),
         max_iters=max_iters,
@@ -212,9 +210,7 @@ def pagerank_csr(
         spark,
         init=lambda: init_state(spark, csr, kernel),
         step=lambda state, it: gas_step(csr, state, kernel),
-        stat=lambda nxt: float(
-            nxt.agg(F.max(F.abs(F.col("new_val") - F.col("old_val")))).first()[0] or 0.0
-        ),
+        stat_expr=F.max(F.abs(F.col("new_val") - F.col("old_val"))),
         done=lambda d: tol is not None and d <= tol,
         restore=lambda df: df.select("vid", F.col("new_val").alias("val"), "block_id"),
         max_iters=max_iters,
@@ -296,9 +292,7 @@ def personalized_pagerank(
             "rank", F.when(is_source, F.lit(1.0)).otherwise(F.lit(0.0))
         ),
         step=step,
-        stat=lambda nxt: float(
-            nxt.agg(F.max(F.abs(F.col("new_rank") - F.col("old_rank")))).first()[0] or 0.0
-        ),
+        stat_expr=F.max(F.abs(F.col("new_rank") - F.col("old_rank"))),
         done=lambda d: tol is not None and d <= tol,
         restore=lambda df: df.select("vid", F.col("new_rank").alias("rank")),
         max_iters=max_iters,

@@ -16,7 +16,7 @@ import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 
 from hoshizora_spark.runtime.checkpoint import CheckpointManager
 
@@ -35,7 +35,8 @@ def bsp_loop(
     *,
     init: Callable[[], DataFrame],
     step: Callable[[DataFrame, int], DataFrame],
-    stat: Callable[[DataFrame], float],
+    stat: Callable[[DataFrame], float] | None = None,
+    stat_expr: Column | None = None,
     done: Callable[[float], bool],
     restore: Callable[[DataFrame], DataFrame],
     max_iters: int,
@@ -45,15 +46,23 @@ def bsp_loop(
     edges_per_iter: int = -1,
     metric_kind: str = "delta",  # 'delta' -> max_abs_delta slot, 'changed' -> changed slot
 ) -> LoopResult:
-    """Run supersteps until ``done(stat(next))`` or ``max_iters``.
+    """Run supersteps until ``done(stat)`` or ``max_iters``.
 
     * ``init()`` builds iteration-0 state (ignored on resume).
     * ``step(state, it)`` emits the next-state DataFrame; it may carry extra
-      columns (e.g. ``old_rank``) that ``stat`` needs — ``restore`` projects
-      those away to produce the persistent state for the next round.
-    * ``stat`` runs AFTER the checkpoint/localCheckpoint cut, so the scalar
-      action re-reads materialized data instead of recomputing the step.
+      columns (e.g. ``old_rank``) that the statistic needs — ``restore``
+      projects those away to produce the persistent state for the next round.
+    * ``stat_expr`` (preferred): an aggregate Column (e.g.
+      ``max(abs(new - old))``) piggybacked on the checkpoint job via
+      ``DataFrame.observe`` — the convergence scalar costs ZERO extra Spark
+      jobs per superstep (the CollectMetrics node rides the materialization
+      the checkpoint already runs). NULL metric (empty frame) reads as 0.0.
+    * ``stat`` (fallback): a callable issuing its own action AFTER the
+      lineage cut — one extra job per superstep; kept for statistics not
+      expressible as a single aggregate.
     """
+    if stat_expr is None and stat is None:
+        raise ValueError("bsp_loop needs stat_expr or stat")
     start = 0
     if resume and checkpoint is not None and checkpoint.latest_iter() is not None:
         start = checkpoint.latest_iter() + 1
@@ -68,11 +77,19 @@ def bsp_loop(
     for it in range(start, max_iters):
         t0 = time.perf_counter()
         nxt = step(state, it)
+        obs = None
+        if stat_expr is not None:
+            obs = Observation(f"hz_stat_{it}")
+            nxt = nxt.observe(obs, stat_expr.alias("stat"))
         if checkpoint is not None and (it % checkpoint_every == 0 or it == max_iters - 1):
             nxt = checkpoint.save_state(it, nxt)
         else:
             nxt = nxt.localCheckpoint(eager=True)
-        s = stat(nxt)
+        if obs is not None:
+            v = obs.get.get("stat")
+            s = float(v) if v is not None else 0.0
+        else:
+            s = stat(nxt)
         wall = (time.perf_counter() - t0) * 1000.0
         stats.append(s)
         walls.append(wall)
