@@ -263,6 +263,32 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, queries_df, k=5, num_planes=24, bands=12)
 
 
+def q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counts (letter/digit/punct runs)."""
+    from hoshizora_spark import text
+
+    return text.token_counts_bpe(_docs(spark, sf_dir))
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints over the (augmented) corpus — the
+    rolling-hash document-fingerprint op, sha-portable so the full
+    fingerprint set hash-checks against SQL."""
+    from hoshizora_spark import text
+
+    return text.winnowing_fingerprints(
+        _docs_aug(spark, sf_dir), k=7, window=4, max_chars=500
+    )
+
+
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs above a threshold."""
+    from hoshizora_spark import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.35)
+
+
 # ------------------------------------------------- multimodal media ops
 
 
@@ -351,6 +377,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup_exact": q_media_dedup_exact,
         "media_stats": q_media_stats,
         "media_meta": q_media_meta,
+        "token_counts_bpe": q_token_counts_bpe,
+        "winnowing_fingerprints": q_winnowing,
+        "cosine_near_dup": q_cosine_near_dup,
         "degree_histogram": q_degree_histogram,
         "kcore_small": q_kcore_small,
         "clustering_modularity": q_clustering_modularity,
@@ -698,6 +727,33 @@ def _clustering_fixed_sql(
     )
 
 
+def _winnowing_sql(k: int = 7, window: int = 4, max_chars: int = 500) -> str:
+    def hex15(expr: str) -> str:
+        return _duck_hex15_to_long(f"substring(sha256({expr}), 1, 15)")
+
+    return f"""
+        WITH aug AS ({_AUG_SQL}),
+        norm AS (
+          SELECT doc_id, substring({_NORM}, 1, {max_chars}) AS t FROM aug
+        ),
+        hs AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, length(t) - {k} + 1),
+                                i -> {hex15(f"substring(t, CAST(i AS INT), {k})")}) AS hs
+          FROM norm WHERE length(t) >= {k}
+        ),
+        mins AS (
+          SELECT doc_id,
+                 CASE WHEN len(hs) >= {window}
+                      THEN list_transform(generate_series(1, len(hs) - {window} + 1),
+                                          j -> list_min(hs[CAST(j AS INT):CAST(j + {window - 1} AS INT)]))
+                      ELSE [list_min(hs)] END AS ms
+          FROM hs
+        )
+        SELECT DISTINCT doc_id, unnest(ms) AS fp FROM mins
+    """
+
+
 def _duck_hex15_to_long(hexpr: str) -> str:
     """Positional base-16 parse of a 15-char hex string (DuckDB has no
     conv()); 60 bits fits BIGINT exactly like the Spark side."""
@@ -822,6 +878,23 @@ def oracle_sql() -> dict[str, str]:
             FROM media GROUP BY 1
         """,
         "media_meta": _media_meta_sql(),
+        "token_counts_bpe": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS BIGINT) AS n_bpe_tokens,
+                   CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_alpha_runs,
+                   CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+                   CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]+')) AS BIGINT) AS n_punct_runs
+            FROM documents
+        """,
+        "winnowing_fingerprints": _winnowing_sql(),
+        "cosine_near_dup": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+        """,
         "pagerank_fixed30": _pagerank_fixed_sql(PR_ITERS),
         "personalized_pagerank_fixed30": _pagerank_fixed_sql(PR_ITERS, seeds=[1, 2, 3]),
         "label_propagation_small": _lpa_fixed_sql(10),

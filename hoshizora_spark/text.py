@@ -133,6 +133,89 @@ def lang_scores(docs: DataFrame) -> DataFrame:
     return scored.withColumn("pred_lang", pred)
 
 
+# GPT-style pre-tokenizer classes, simplified to what both Java regex
+# (Spark) and RE2 (DuckDB) support identically: letter runs, digit runs,
+# punctuation runs. The real BPE merge table is model-specific; the
+# pre-tokenizer split is what sizing/costing pipelines need.
+BPE_SPLIT_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def token_counts_bpe(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bpe_tokens, n_alpha_runs, n_digit_runs, n_punct_runs).
+
+    BPE-ish token accounting: the pre-tokenizer split above approximates
+    subword token counts far better than whitespace (punctuation and
+    number runs become their own tokens) — the standard first-order cost
+    model for training-data sizing. Pure Catalyst regexp, no Python.
+    """
+    # Spark SQL string literals eat single backslashes ('\s' -> 's'), so
+    # the canonical RE2/Java-portable pattern gets its backslashes doubled
+    # here; DuckDB literals pass backslashes through untouched.
+    spark_re = BPE_SPLIT_RE.replace("\\", "\\\\")
+    toks = F.expr(f"regexp_extract_all(text, '{spark_re}', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-zA-Z]+', 0)"))
+        .cast("long")
+        .alias("n_alpha_runs"),
+        F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)"))
+        .cast("long")
+        .alias("n_digit_runs"),
+        F.size(F.expr(r"regexp_extract_all(text, '[^a-zA-Z0-9\\s]+', 0)"))
+        .cast("long")
+        .alias("n_punct_runs"),
+    )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = 7, window: int = 4, max_chars: int = 4000
+) -> DataFrame:
+    """(doc_id, fp) — MOSS-style winnowing document fingerprints.
+
+    Rolling char-k-gram hashes; each sliding window of ``window``
+    consecutive hashes contributes its minimum; distinct minima are the
+    doc's fingerprint set. Guarantees every shared substring of length
+    ≥ k + window − 1 between two docs yields a shared fingerprint —
+    the classic plagiarism/near-dup detector with provable recall
+    (Schleimer, Wilkerson, Aiken, SIGMOD 2003).
+
+    Hash = the portable 60-bit sha256 prefix (sha_token_hash60), so the
+    whole op is reproducible in any engine with sha256 — full oracle.
+    Docs shorter than k chars (after normalization) yield no rows.
+    ``max_chars`` bounds per-doc work at scale; the array pipeline is
+    one Catalyst expression chain, no Python, no shuffle until the final
+    distinct.
+    """
+    norm = F.substring(normalized(F.col("text")), 1, max_chars)
+    n_hashes = F.length(norm) - k + 1
+    hs = F.transform(
+        F.sequence(F.lit(1), n_hashes),
+        lambda i: sha_token_hash60(F.substr(norm, i, F.lit(k))),
+    )
+    # Sliding-window min via window-1 shifted zip_with passes — O(w·n)
+    # expression evaluations. The obvious per-position
+    # ``transform(seq, j -> array_min(slice(hs, j, w)))`` is O(n²):
+    # Catalyst inlines the hs construction into every lambda element, so
+    # each of the n positions re-hashes the whole document (measured
+    # ~1.2 s/doc at 500 chars — two orders slower than this form).
+    m = hs
+    for s in range(1, window):
+        # zip_with pads the shorter side with NULL; least() ignores NULLs,
+        # and the final slice keeps only full windows anyway.
+        m = F.zip_with(m, F.slice(hs, s + 1, n_hashes), lambda a, b: F.least(a, b))
+    mins = F.slice(m, 1, n_hashes - window + 1)
+    guarded = F.when(n_hashes >= window, mins).otherwise(
+        F.when(n_hashes >= 1, F.array(F.array_min(hs))).otherwise(
+            F.expr("CAST(array() AS array<long>)")
+        )
+    )
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(guarded)).alias("fp"))
+        .distinct()
+    )
+
+
 def word_ngrams(docs: DataFrame, n: int = 3, max_tokens: int = 10_000) -> DataFrame:
     """(doc_id, gram) — distinct word n-gram shingles per doc.
 

@@ -191,3 +191,47 @@ def test_ann_bucket_cap_completes_on_identical_embeddings(spark):
     rows = res.collect()
     assert 0 < len(rows) <= 6
     assert all(abs(r["cos"] - 1.0) < 1e-9 for r in rows)
+
+
+def test_token_counts_bpe_matches_python_re(spark, docs):
+    import re
+
+    sample = docs.limit(20)
+    got = {r["doc_id"]: r for r in text.token_counts_bpe(sample).collect()}
+    pat = re.compile(text.BPE_SPLIT_RE)
+    for row in sample.collect():
+        want = len(pat.findall(row["text"]))
+        assert got[row["doc_id"]]["n_bpe_tokens"] == want
+        assert (
+            got[row["doc_id"]]["n_alpha_runs"]
+            + got[row["doc_id"]]["n_digit_runs"]
+            + got[row["doc_id"]]["n_punct_runs"]
+            == want
+        )
+
+
+def test_winnowing_shared_fingerprints_for_near_dups(spark, docs_with_dups):
+    """Winnowing guarantee: shared substrings of length >= k+w-1 share a
+    fingerprint — exact copies must have identical fingerprint sets, and
+    near-copies (suffix appended) must overlap almost fully."""
+    fps = text.winnowing_fingerprints(docs_with_dups, k=7, window=4, max_chars=500)
+    by_doc: dict[int, set] = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i in range(3):
+        assert by_doc[i] == by_doc[i + 2_000_000]
+    for i in range(5):
+        inter = len(by_doc[i] & by_doc[i + 1_000_000])
+        union = len(by_doc[i] | by_doc[i + 1_000_000])
+        assert inter / union > 0.8, f"doc {i}: jaccard {inter / union}"
+
+
+def test_winnowing_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "exactly7"), (3, "a bit longer text here")],
+        schema="doc_id long, text string",
+    )
+    rows = text.winnowing_fingerprints(docs, k=7, window=4).collect()
+    ids = {r["doc_id"] for r in rows}
+    assert 1 not in ids          # < k chars: no grams
+    assert 2 in ids and 3 in ids # >= k chars: at least one fingerprint
