@@ -263,6 +263,25 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, queries_df, k=5, num_planes=24, bands=12)
 
 
+def q_bfs_distances_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected hop distances from supplier 1 over the src<200 subgraph —
+    fixed-round relax CTE oracle (stationary at fixpoint)."""
+    from hoshizora_spark import Graph
+    from hoshizora_spark.algorithms.bfs import bfs_distances
+
+    edges = _edges_cooccur(spark, sf_dir).filter(
+        (F.col("src") < 200) & (F.col("dst") < 200)
+    )
+    g = Graph.from_edges(edges)
+    present = (
+        edges.select(F.col("src").alias("vid"))
+        .union(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    res = bfs_distances(g, sources=[1], directed=False)
+    return res.distances.join(present, "vid").select("vid", "dist")
+
+
 def q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pre-tokenizer counts (letter/digit/punct runs)."""
     from hoshizora_spark import text
@@ -377,6 +396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup_exact": q_media_dedup_exact,
         "media_stats": q_media_stats,
         "media_meta": q_media_meta,
+        "bfs_distances_small": q_bfs_distances_small,
         "token_counts_bpe": q_token_counts_bpe,
         "winnowing_fingerprints": q_winnowing,
         "cosine_near_dup": q_cosine_near_dup,
@@ -727,6 +747,36 @@ def _clustering_fixed_sql(
     )
 
 
+def _bfs_fixed_sql(rounds: int = 15, source: int = 1) -> str:
+    """Fixed-round BFS relax over the src<200 undirected subgraph;
+    INF sentinel = 2^62 (matches the Spark implementation), -1 output."""
+    inf = 2**62
+    parts = [
+        f"fe AS MATERIALIZED ({_FILT_COOCCUR})",
+        "und AS MATERIALIZED (SELECT src, dst FROM fe UNION SELECT dst, src FROM fe)",
+        "present AS MATERIALIZED (SELECT DISTINCT src AS vid FROM und)",
+        f"""d0 AS MATERIALIZED (
+          SELECT vid, CASE WHEN vid = {source} THEN 0
+                           ELSE CAST({inf} AS BIGINT) END AS dist
+          FROM present)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+              SELECT d.vid, least(d.dist, coalesce(r.cand, d.dist)) AS dist
+              FROM d{i - 1} d LEFT JOIN (
+                SELECT e.dst AS vid, min(s.dist) + 1 AS cand
+                FROM und e JOIN d{i - 1} s ON s.vid = e.src
+                WHERE s.dist < {inf}
+                GROUP BY e.dst
+              ) r ON r.vid = d.vid)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT vid, CASE WHEN dist >= {inf} THEN -1 ELSE dist END AS dist FROM d{rounds}"
+    )
+
+
 def _winnowing_sql(k: int = 7, window: int = 4, max_chars: int = 500) -> str:
     def hex15(expr: str) -> str:
         return _duck_hex15_to_long(f"substring(sha256({expr}), 1, 15)")
@@ -899,6 +949,7 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank_fixed30": _pagerank_fixed_sql(PR_ITERS, seeds=[1, 2, 3]),
         "label_propagation_small": _lpa_fixed_sql(10),
         "kcore_small": _kcore_hindex_sql(KCORE_ORACLE_ROUNDS),
+        "bfs_distances_small": _bfs_fixed_sql(),
         "clustering_modularity": _clustering_fixed_sql(),
         "edge_extract_bipartite": """
             SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst

@@ -16,6 +16,7 @@ from hoshizora_spark.algorithms.pagerank import (
     personalized_pagerank,
     top_k,
 )
+from hoshizora_spark.algorithms.bfs import bfs_distances, bfs_distances_csr
 from hoshizora_spark.algorithms.clustering import clustering
 from hoshizora_spark.algorithms.components import (
     connected_components,
@@ -37,6 +38,8 @@ __all__ = [
     "build_csr_blocks",
     "edges_from_pairs",
     "symmetrize",
+    "bfs_distances",
+    "bfs_distances_csr",
     "pagerank",
     "pagerank_csr",
     "personalized_pagerank",

@@ -213,3 +213,33 @@ def triangle_counts(
 
 def triangle_total(edges: list[tuple[int, int]], num_vertices: int | None = None) -> int:
     return int(triangle_counts(edges, num_vertices).sum()) // 3
+
+
+def bfs_distances(
+    edges: list[tuple[int, int]],
+    sources: list[int],
+    directed: bool = True,
+    num_vertices: int | None = None,
+) -> np.ndarray:
+    """Multi-source BFS hop distances; -1 = unreachable."""
+    from collections import deque
+
+    n = num_vertices if num_vertices is not None else num_vertices_of(edges)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for s, d in edges:
+        adj[s].append(d)
+        if not directed:
+            adj[d].append(s)
+    dist = np.full(n, -1, dtype=np.int64)
+    dq = deque()
+    for s in sources:
+        if dist[s] == -1:
+            dist[s] = 0
+            dq.append(s)
+    while dq:
+        u = dq.popleft()
+        for v in adj[u]:
+            if dist[v] == -1:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    return dist
