@@ -115,6 +115,123 @@ def cosine_near_dup_pairs(
     )
 
 
+def ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Spherical k-means coarse quantizer — the IVF cell structure.
+
+    Deterministic end to end: initial centroids are the vectors of the
+    ``n_centroids`` vec_ids with the smallest ``xxhash64(vec_id, 'ivf')``
+    (a seedless pseudo-random sample, identical across runs and cluster
+    sizes), then Lloyd iterations with unit-normalized mean updates.
+
+    Centroids are k×d floats — driver-resident by design (kilobytes); the
+    assignment pass embeds them as literal arrays, so each Lloyd iteration
+    is ONE scan + ONE groupBy over the corpus with no join: at 10^9
+    vectors that is the only shape that doesn't shuffle the embeddings.
+    Returns (assignments (vec_id, cell), centroids).
+    """
+    u = with_unit_vectors(embeddings).select("vec_id", F.col("_unit").alias("v"))
+    u = u.persist()
+    d = len(u.select("v").first()["v"])
+    seed_ids = [
+        r["vec_id"]
+        for r in u.select("vec_id")
+        .orderBy(F.xxhash64("vec_id", F.lit("ivf")), F.col("vec_id"))
+        .limit(n_centroids)
+        .collect()
+    ]
+    cents = [
+        list(r["v"])
+        for r in u.filter(F.col("vec_id").isin(seed_ids))
+        .orderBy("vec_id")
+        .collect()
+    ]
+
+    def assign_expr(cs: list[list[float]]):
+        scored = F.array(
+            *[
+                F.struct(
+                    (-_dot(F.col("v"), F.array(*[F.lit(float(x)) for x in c]))).alias(
+                        "neg"
+                    ),
+                    F.lit(ci).alias("cell"),
+                )
+                for ci, c in enumerate(cs)
+            ]
+        )
+        return F.array_min(scored)["cell"]
+
+    assign = None
+    for _ in range(iters):
+        assign = u.select("vec_id", "v", assign_expr(cents).alias("cell"))
+        sums = assign.groupBy("cell").agg(
+            *[F.avg(F.element_at("v", i + 1)).alias(f"m{i}") for i in range(d)],
+        )
+        new = {r["cell"]: [r[f"m{i}"] for i in range(d)] for r in sums.collect()}
+        import math
+
+        for ci in range(len(cents)):
+            if ci in new:
+                m = new[ci]
+                nrm = math.sqrt(sum(x * x for x in m)) or 1.0
+                cents[ci] = [x / nrm for x in m]
+    out = assign.select("vec_id", "cell")
+    u.unpersist()
+    return out, cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(query_id, vec_id, cos) — IVF-style ANN: probe the ``nprobe``
+    nearest cells per query, exact cosine re-rank inside them.
+
+    The at-scale shape: the corpus is scanned once for assignment (index
+    build, amortized over queries), and each query touches only
+    ~nprobe/n_centroids of the corpus. Queries are small by contract, so
+    their cell probes are computed driver-side from the tiny centroid
+    table. Recall grows with nprobe; nprobe = n_centroids degrades
+    gracefully to exact search.
+    """
+    import numpy as np
+
+    assign, cents = ivf_index(embeddings, n_centroids, iters)
+    c = np.asarray(cents)  # (k, d), unit rows
+    qrows = with_unit_vectors(queries).select("query_id", F.col("_unit").alias("qv")).collect()
+    pairs = []  # (query_id, cell)
+    for r in qrows:
+        sims = c @ np.asarray(r["qv"])
+        for cell in np.argsort(-sims)[:nprobe]:
+            pairs.append((int(r["query_id"]), int(cell)))
+    probes = embeddings.sparkSession.createDataFrame(
+        pairs, schema="query_id long, cell int"
+    )
+    cand = assign.join(F.broadcast(probes), "cell").select("query_id", "vec_id")
+
+    corp = with_unit_vectors(embeddings).select("vec_id", F.col("_unit").alias("cv"))
+    qry = with_unit_vectors(queries).select("query_id", F.col("_unit").alias("qv"))
+    scored = (
+        cand.filter(F.col("vec_id") != F.col("query_id"))
+        .join(corp, "vec_id")
+        .join(F.broadcast(qry), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_dot(F.col("qv"), F.col("cv")), round_dp).alias("cos"),
+        )
+    )
+    return _per_query_topk(scored, k)
+
+
 def _plane_weight(plane: int, dim_col):
     """Deterministic pseudo-random weight in [-1, 1) for (plane, dim)."""
     return (

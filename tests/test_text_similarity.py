@@ -235,3 +235,50 @@ def test_winnowing_short_docs(spark):
     ids = {r["doc_id"] for r in rows}
     assert 1 not in ids          # < k chars: no grams
     assert 2 in ids and 3 in ids # >= k chars: at least one fingerprint
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """Three tight clusters in 8-d — data with the structure IVF exploits."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = np.eye(3, 8) * 10.0
+    rows = []
+    for i in range(300):
+        c = i % 3
+        v = centers[c] + rng.normal(0, 0.3, 8)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
+
+
+def test_ivf_topk_clustered_recall_at_one_probe(spark, clustered_emb):
+    """On clustered data one probe per query recovers the exact top-k:
+    the IVF contract (touch ~nprobe/n_centroids of the corpus, lose
+    nothing when the data is cellular)."""
+    from pyspark.sql import functions as F
+
+    q = clustered_emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["vec_id"]) for r in
+             similarity.cosine_topk(clustered_emb, q, k=5).collect()}
+    ivf = {(r["query_id"], r["vec_id"]) for r in
+           similarity.ivf_topk(clustered_emb, q, k=5, n_centroids=3, nprobe=1, iters=8).collect()}
+    assert ivf == exact
+
+
+def test_ivf_index_deterministic_and_partitioned(spark, clustered_emb):
+    a1, c1 = similarity.ivf_index(clustered_emb, n_centroids=3, iters=8)
+    a2, c2 = similarity.ivf_index(clustered_emb, n_centroids=3, iters=8)
+    assert c1 == c2
+    m1 = {r["vec_id"]: r["cell"] for r in a1.collect()}
+    m2 = {r["vec_id"]: r["cell"] for r in a2.collect()}
+    assert m1 == m2
+    # the three true clusters never split across a query: members of one
+    # ground-truth cluster share their majority cell with >=95% purity
+    from collections import Counter
+
+    for c in range(3):
+        cells = Counter(m1[i] for i in range(300) if i % 3 == c)
+        assert cells.most_common(1)[0][1] >= 0.95 * sum(cells.values())
