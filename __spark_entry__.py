@@ -3,9 +3,13 @@
 ``entry(spark)`` — flagship: PageRank over the supplier co-occurrence graph
 at sf0.001, top-10 most-central suppliers.
 
-``queries()`` / ``oracle_sql()`` — one entry per SQL-checkable operator from
-SURVEY.md §2 (edge extraction, degrees, dense-ID compaction, triangles, CC),
-plus rows-only entries for the iterative algorithms DuckDB can't express.
+``queries()`` / ``oracle_sql()`` — one entry per operator from SURVEY.md §2
+plus the training-pipeline tier (dedup/similarity/multimodal/text). Every
+query carries a full DuckDB value-hash oracle: iterative algorithms run a
+FIXED operator count matched by chained MATERIALIZED CTEs (stationary at
+their fixpoint, so early exits are safe); hash-based ops use portable
+sha256-derived hashes; LSH ops are verified against the exact SQL, which
+doubles as a recall gate.
 """
 
 from __future__ import annotations
