@@ -82,3 +82,19 @@ def test_cosine_topk_has_no_global_window(spark, sf_dir):
     plan = _plan(similarity.cosine_topk(emb, q, k=3))
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_keyed_gas_plan_uses_arrow_not_row_python(spark):
+    from hoshizora_spark.algorithms.labelprop import LabelPropKernel
+    from hoshizora_spark.graph.core import Graph as G, symmetrize
+    from hoshizora_spark.graph.csr import build_csr_blocks
+    from hoshizora_spark.runtime.gas import gas_keyed_counts, init_state
+
+    g = _graph(spark)
+    sym_g = G(edges=symmetrize(g.edges), num_vertices=g.num_vertices)
+    csr = build_csr_blocks(sym_g, num_blocks=2)
+    kernel = LabelPropKernel()
+    freq = gas_keyed_counts(csr, init_state(spark, csr, kernel), kernel)
+    plan = _plan(freq)
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # Arrow-batched keyed fold
