@@ -927,7 +927,7 @@ def oracle_sql() -> dict[str, str]:
         "media_stats": f"""
             WITH media AS MATERIALIZED ({_MEDIA_SQL})
             SELECT modality, count(*) AS n_items,
-                   sum(octet_length(content)) AS total_bytes,
+                   CAST(sum(octet_length(content)) AS BIGINT) AS total_bytes,
                    count(DISTINCT sha256(hex(content))) AS distinct_contents
             FROM media GROUP BY 1
         """,

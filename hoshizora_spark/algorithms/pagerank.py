@@ -194,8 +194,15 @@ def pagerank_csr(
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 1,
     resume: bool = False,
+    weight_col: str | None = None,
 ) -> PageRankResult:
-    """CSR-block GAS path — same fixed point, hoshizora-style execution."""
+    """CSR-block GAS path — same fixed point, hoshizora-style execution.
+
+    ``weight_col``: edge-weight column (reference ``e_props``); the CSR
+    build stores src-normalized real weights so the weighted fixed point
+    matches ``pagerank(..., weight_col=...)`` exactly. Ignored when a
+    pre-built ``csr`` is passed (its weights are already baked in).
+    """
     spark = graph.spark
     V = graph.num_vertices
     if V == 0:
@@ -203,7 +210,7 @@ def pagerank_csr(
                               iterations=0, converged=True)
     own_csr = csr is None
     if csr is None:
-        csr = build_csr_blocks(graph)
+        csr = build_csr_blocks(graph, weight_col=weight_col)
     kernel = PageRankKernel(V)
 
     res = bsp_loop(

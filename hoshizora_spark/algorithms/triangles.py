@@ -62,9 +62,7 @@ def triangle_triples(graph: Graph) -> DataFrame:
     wedges = oriented.alias("e1").join(
         oriented.select(F.col("u").alias("v"), F.col("v").alias("w")).alias("e2"), "v"
     )
-    closing = oriented.select(F.col("u"), F.col("v").alias("w")).withColumn(
-        "closes", F.lit(True)
-    )
+    closing = oriented.select(F.col("u"), F.col("v").alias("w"))
     tri = (
         wedges.join(closing, ["u", "w"], "inner")
         .select(F.col("u").alias("x"), F.col("v").alias("y"), F.col("w").alias("z"))

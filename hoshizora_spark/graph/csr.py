@@ -35,6 +35,7 @@ from __future__ import annotations
 import bisect
 import os
 import uuid
+from collections import OrderedDict
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -45,10 +46,12 @@ from pyspark.sql import functions as F
 
 from hoshizora_spark.graph.core import Graph
 
-# Worker-global cache: Python workers are reused across tasks
+# Worker-global LRU cache: Python workers are reused across tasks
 # (spark.python.worker.reuse), so a block loads from the sidecar once per
-# worker per build, not once per superstep.
-_BLOCK_CACHE: dict[tuple[str, int], tuple[int, int, np.ndarray, np.ndarray, np.ndarray]] = {}
+# worker per build, not once per superstep. Eviction is least-recently-used
+# — a worker cycling through >_BLOCK_CACHE_MAX blocks evicts one cold block
+# per load instead of dumping the whole working set.
+_BLOCK_CACHE: OrderedDict = OrderedDict()
 _BLOCK_CACHE_MAX = 256
 
 
@@ -59,6 +62,7 @@ def load_block(path: str, bid: int):
     key = (path, bid)
     hit = _BLOCK_CACHE.get(key)
     if hit is not None:
+        _BLOCK_CACHE.move_to_end(key)
         return hit
     with np.load(os.path.join(path, f"block_{bid:05d}.npz")) as z:
         val = (
@@ -72,8 +76,8 @@ def load_block(path: str, bid: int):
             z["uniq_dst"],
             z["starts"],
         )
-    if len(_BLOCK_CACHE) >= _BLOCK_CACHE_MAX:
-        _BLOCK_CACHE.clear()
+    while len(_BLOCK_CACHE) >= _BLOCK_CACHE_MAX:
+        _BLOCK_CACHE.popitem(last=False)
     _BLOCK_CACHE[key] = val
     return val
 
@@ -150,8 +154,17 @@ def build_csr_blocks(
     num_blocks: int | None = None,
     target_edges_per_block: int = 4_000_000,
     sidecar_root: str | None = None,
+    weight_col: str | None = None,
 ) -> CsrBlocks:
-    """One-time physical build (the analogue of ``Graph::from_edge_list``)."""
+    """One-time physical build (the analogue of ``Graph::from_edge_list``).
+
+    ``weight_col``: name of an edge-weight column (the reference's
+    ``e_props``, core/graph.h:74). When given, each CSR entry stores the
+    src-normalized real weight ``w_e / Σ_src w`` instead of the unweighted
+    ``1/out_degree`` — so weighted PageRank (and any weight-reading kernel)
+    runs on the CSR fast path with the same semantics as the DataFrame
+    path's ``_weighted_edges``. Normalization happens once here, at build.
+    """
     spark = graph.spark
     V = graph.num_vertices
     E = graph.edges.count()
@@ -168,11 +181,20 @@ def build_csr_blocks(
     path = os.path.join(root, uuid.uuid4().hex[:12])
     os.makedirs(path, exist_ok=True)
 
-    # per-edge weight 1/out_degree(src); multi-edge entries each carry it
-    deg = graph.out_degrees
-    ew = graph.edges.join(deg, "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w")
-    )
+    if weight_col is None:
+        # per-edge weight 1/out_degree(src); multi-edge entries each carry it
+        deg = graph.out_degrees
+        ew = graph.edges.join(deg, "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w")
+        )
+    else:
+        # real weights, normalized per src at build (multi-edge entries keep
+        # their own share; the per-dst reduceat fold sums them, matching the
+        # DF path's groupBy(src,dst).sum)
+        tot = graph.edges.groupBy("src").agg(F.sum(weight_col).alias("_tot"))
+        ew = graph.edges.join(tot, "src").select(
+            "src", "dst", (F.col(weight_col) / F.col("_tot")).alias("w")
+        )
     interior = bounds[1:-1]
 
     def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

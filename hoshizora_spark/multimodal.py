@@ -114,8 +114,11 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
                 continue
             blobs = pdf["content"]
             n_bytes = blobs.map(len).astype(np.int64)
+            # zero-pad short/empty blobs: one malformed row must degrade to
+            # a (deterministic) row-level result, never abort the Arrow batch
             b = np.frombuffer(
-                b"".join(bytes(x[:4]) for x in blobs), dtype=np.uint8
+                b"".join(bytes(x[:4]).ljust(4, b"\0") for x in blobs),
+                dtype=np.uint8,
             ).reshape(-1, 4).astype(np.int64)
             width = ((b[:, 0] << 8 | b[:, 1]) % 1920 + 1).astype(np.int32)
             height = ((b[:, 2] << 8 | b[:, 3]) % 1080 + 1).astype(np.int32)
@@ -153,6 +156,11 @@ def media_embeddings(media: DataFrame, dim: int = 16) -> DataFrame:
             embs = []
             for blob in pdf["content"]:
                 arr = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.float64)
+                if len(arr) == 0:
+                    # empty blob → NULL embedding (row-level degradation,
+                    # never a ZeroDivisionError that kills the whole batch)
+                    embs.append(None)
+                    continue
                 idx = (7 * np.arange(dim)) % len(arr)
                 embs.append(arr[idx] / 255.0 - 0.5)
             yield pd.DataFrame(

@@ -64,13 +64,17 @@ def salted_sum(
     """
     if salt_cols is None:
         salt_cols = [c for c in df.columns if c != key]
-    # monotonically_increasing_id joins the hash so even all-identical rows
-    # (degenerate hot key with one repeated payload) spread over all salts;
-    # sum is associative so the final fold is unaffected.
+    # The salt MUST be a deterministic function of row content: a
+    # nondeterministic component (monotonically_increasing_id,
+    # spark_partition_id, rand) changes on shuffle-fetch-failure recompute,
+    # migrating rows between (key, salt) groups mid-shuffle — the classic
+    # double-count/loss hazard with nondeterministic repartition keys.
+    # Cost of determinism: bit-identical rows under one hot key collide on
+    # one salt; acceptable because real payloads differ per row.
     salted = df.withColumn(
         SALT_COL,
         F.pmod(
-            F.xxhash64(*[F.col(c) for c in salt_cols], F.monotonically_increasing_id()),
+            F.xxhash64(*[F.col(c) for c in salt_cols]),
             F.lit(num_salts),
         ),
     )
@@ -92,12 +96,18 @@ def salted_join_edges_state(
     columns = edges' + state's non-key columns.
     """
     hot_marked = hot.withColumn("_is_hot", F.lit(True))
+    # Deterministic content-derived salt (see salted_sum): a retry-recomputed
+    # edge row must land on the SAME state replica, or the join emits it
+    # twice/zero times. Hashing every edge column spreads hot keys across
+    # replicas as long as edge rows differ (they do: distinct dst/payload).
+    edge_salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in edges.columns]), F.lit(num_salts)
+    )
     e = edges.join(F.broadcast(hot_marked), key, "left").withColumn(
         SALT_COL,
-        F.when(
-            F.col("_is_hot").isNotNull(),
-            F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(num_salts)),
-        ).otherwise(F.lit(0)).cast("int"),
+        F.when(F.col("_is_hot").isNotNull(), edge_salt)
+        .otherwise(F.lit(0))
+        .cast("int"),
     ).drop("_is_hot")
     s = (
         state.join(F.broadcast(hot_marked), key, "left")

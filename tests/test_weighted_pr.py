@@ -37,6 +37,28 @@ def test_weighted_pagerank_matches_oracle(spark):
     assert np.allclose(got, want, atol=1e-6)
 
 
+def test_weighted_pagerank_csr_matches_df(spark):
+    """Weighted CSR fast path ≡ weighted DataFrame path (reference e_props,
+    core/graph.h:74 — weights now live on the CSR blocks, not DF-only)."""
+    from hoshizora_spark import pagerank_csr
+
+    edges_w = [
+        (0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0), (3, 0, 5.0),
+        (3, 1, 0.5), (1, 2, 1.5),  # multi-edge: shares must sum per (src,dst)
+    ]
+    df = spark.createDataFrame(edges_w, schema="src long, dst long, wgt double")
+    g = Graph.from_edges(df, extra_cols=("wgt",))
+    a = pagerank(g, tol=1e-10, max_iters=500, weight_col="wgt")
+    b = pagerank_csr(g, tol=1e-10, max_iters=500, weight_col="wgt")
+    ra = {r["vid"]: r["rank"] for r in a.ranks.collect()}
+    rb = {r["vid"]: r["rank"] for r in b.ranks.collect()}
+    assert set(ra) == set(rb)
+    assert all(abs(ra[k] - rb[k]) < 1e-9 for k in ra)
+    want = _oracle_weighted(edges_w, 4)
+    got = np.array([rb[i] for i in range(4)])
+    assert np.allclose(got, want, atol=1e-6)
+
+
 def test_uniform_weights_equal_unweighted(spark):
     pairs = [(0, 1), (1, 2), (2, 0), (2, 3)]
     plain = spark.createDataFrame(pairs, schema="src long, dst long")
