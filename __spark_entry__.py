@@ -267,6 +267,38 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, queries_df, k=5, num_planes=24, bands=12)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at nprobe == n_centroids: every cell is probed, so the
+    result degrades exactly to brute-force top-k REGARDLESS of where the
+    k-means cells land — the exact-cosine SQL is the oracle, and any
+    assignment/probe bug surfaces as a hash mismatch. (Recall < 1 configs
+    are exercised in pytest on a clustered fixture where nprobe=1 is
+    lossless by construction.)"""
+    from hoshizora_spark import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(
+        emb, queries_df, k=5, n_centroids=8, nprobe=8, iters=2
+    )
+
+
+def q_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path embedding near-dup: LSH candidates → exact-cosine verify
+    (no crossJoin in the plan). The all-pairs SQL is the oracle, so the
+    check gates recall = 1.0 at these settings (verified at sf0.001 and
+    sf0.01; per-bit blocking because the 0.35 threshold is a wide net —
+    see similarity.cosine_near_dup_lsh docstring for the economics)."""
+    from hoshizora_spark import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_near_dup_lsh(
+        emb, threshold=0.35, num_planes=24, bands=24
+    )
+
+
 def q_bfs_distances_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected hop distances from supplier 1 over the src<200 subgraph —
     fixed-round relax CTE oracle (stationary at fixpoint)."""
@@ -397,6 +429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
         "media_dedup_exact": q_media_dedup_exact,
         "media_stats": q_media_stats,
         "media_meta": q_media_meta,
@@ -488,6 +522,16 @@ _JACCARD_SQL = f"""
     JOIN sizes sa ON sa.doc_id = a
     JOIN sizes sb ON sb.doc_id = b
     WHERE i * 1.0 / (sa.n_grams + sb.n_grams - i) >= 0.5
+"""
+
+
+_COSINE_NEAR_DUP_SQL = """
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
 """
 
 
@@ -941,14 +985,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "winnowing_fingerprints": _winnowing_sql(),
-        "cosine_near_dup": """
-            SELECT a.vec_id AS a, b.vec_id AS b,
-                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                                CAST(b.embedding AS DOUBLE[])), 6) AS cos
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                               CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
-        """,
+        "cosine_near_dup": _COSINE_NEAR_DUP_SQL,
+        # LSH near-dup verifies candidates with exact cosine → subset of
+        # the exact pairs; equality with the all-pairs SQL gates recall.
+        "cosine_near_dup_lsh": _COSINE_NEAR_DUP_SQL,
+        # nprobe == n_centroids probes every IVF cell → exact top-k by
+        # construction; the exact SQL checks assignment+probe+re-rank.
+        "ivf_topk": _COSINE_TOPK_SQL,
         "pagerank_fixed30": _pagerank_fixed_sql(PR_ITERS),
         "personalized_pagerank_fixed30": _pagerank_fixed_sql(PR_ITERS, seeds=[1, 2, 3]),
         "label_propagation_small": _lpa_fixed_sql(10),

@@ -170,18 +170,27 @@ def media_embeddings(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.mapInPandas(run, schema="doc_id long, embedding array<double>")
 
 
-def media_embed_near_dups(media: DataFrame, threshold: float = 0.999) -> DataFrame:
+def media_embed_near_dups(
+    media: DataFrame, threshold: float = 0.999, use_lsh: bool = True
+) -> DataFrame:
     """(a, b, cos) — same-bytes/near-bytes media pairs by embedding cosine.
 
     Composition proof that media plugs into the text similarity tier: the
-    stub embeddings feed similarity.cosine_near_dup_pairs unchanged. At
-    corpus scale swap in ann_lsh_topk for the candidate step.
+    stub embeddings feed the similarity module unchanged. Default is the
+    scale path (``cosine_near_dup_lsh``: LSH candidates → exact verify, no
+    crossJoin; exact copies share every band so their recall is
+    structural); ``use_lsh=False`` keeps the O(N²) all-pairs verifier for
+    small-N oracle runs.
     """
-    from hoshizora_spark.similarity import cosine_near_dup_pairs
+    from hoshizora_spark.similarity import cosine_near_dup_lsh, cosine_near_dup_pairs
 
     emb = media_embeddings(media).select(
         F.col("doc_id").alias("vec_id"), "embedding"
     )
+    if use_lsh:
+        return cosine_near_dup_lsh(emb, threshold=threshold).selectExpr(
+            "a", "b", "cos"
+        )
     return cosine_near_dup_pairs(emb, threshold=threshold)
 
 

@@ -46,25 +46,58 @@ def with_unit_vectors(embeddings: DataFrame, col: str = "embedding") -> DataFram
 
 
 def _per_query_topk(scored: DataFrame, k: int) -> DataFrame:
-    """Top-k (cos desc, vec_id asc) per query WITHOUT a global window.
+    """Top-k (cos desc, vec_id asc) per query WITHOUT a global window and
+    with a genuinely bounded exchange.
 
     ``row_number().over(Window.partitionBy(query_id))`` ships every corpus
     score for a query through ONE reducer task — at 10^9 vectors that is a
-    straggler/OOM. Instead: per-(query, partition) top-k partial (bounded
-    heap via sort_array+slice over the partition's rows), then a final
-    merge over ≤ k·num_partitions rows per query — the same
-    TakeOrderedAndProject discipline as ``top_k`` (pagerank.py).
+    straggler/OOM. A ``collect_list``+``slice`` partial agg is no better on
+    the exchange: the slice runs after the final agg, so the partial
+    buffers still carry every scored row through the shuffle. Here the
+    partial top-k runs INSIDE the map task (``mapInPandas``, Arrow-batched:
+    a per-query bounded buffer compacted to k rows after every batch), so
+    at most k rows per (query, input-partition) reach the exchange; the
+    final merge folds ≤ k·num_partitions rows per query.
 
-    Sort key: struct(-cos, vec_id) ascending == (cos desc, vec_id asc);
+    Sort key: (-cos, vec_id) ascending == (cos desc, vec_id asc);
     negation of a double is exact, so the emitted cos is bit-identical.
     """
+    import numpy as np
+    import pandas as pd
+
+    def part_topk(batches):
+        best: dict[int, tuple] = {}  # qid -> (neg_cos[<=k], vec_id[<=k])
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            neg = -pdf["cos"].to_numpy(np.float64)
+            vid = pdf["vec_id"].to_numpy(np.int64)
+            qid = pdf["query_id"].to_numpy(np.int64)
+            order = np.lexsort((vid, neg, qid))
+            qs, ns, vs = qid[order], neg[order], vid[order]
+            heads = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+            bounds = np.r_[heads[1:], len(qs)]
+            for h, b in zip(heads, bounds):
+                q = int(qs[h])
+                n2, v2 = ns[h : min(b, h + k)], vs[h : min(b, h + k)]
+                if q in best:
+                    n2 = np.r_[best[q][0], n2]
+                    v2 = np.r_[best[q][1], v2]
+                    o2 = np.lexsort((v2, n2))[:k]
+                    n2, v2 = n2[o2], v2[o2]
+                best[q] = (n2, v2)
+        if best:
+            qids = np.concatenate(
+                [np.full(len(t[0]), q, np.int64) for q, t in best.items()]
+            )
+            negs = np.concatenate([t[0] for t in best.values()])
+            vids = np.concatenate([t[1] for t in best.values()])
+            yield pd.DataFrame({"query_id": qids, "vec_id": vids, "cos": -negs})
+
+    part = scored.mapInPandas(part_topk, schema="query_id long, vec_id long, cos double")
     item = F.struct((-F.col("cos")).alias("neg"), F.col("vec_id").alias("vec_id"))
-    part = scored.groupBy("query_id", F.spark_partition_id().alias("_p")).agg(
+    fin = part.groupBy("query_id").agg(
         F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("top")
-    )
-    merged = part.select("query_id", F.explode("top").alias("t"))
-    fin = merged.groupBy("query_id").agg(
-        F.slice(F.sort_array(F.collect_list("t")), 1, k).alias("top")
     )
     return fin.select("query_id", F.explode("top").alias("t")).select(
         "query_id",
@@ -122,20 +155,40 @@ def ivf_index(
 ) -> tuple[DataFrame, list[list[float]]]:
     """Spherical k-means coarse quantizer — the IVF cell structure.
 
-    Deterministic end to end: initial centroids are the vectors of the
+    Deterministic: initial centroids are the vectors of the
     ``n_centroids`` vec_ids with the smallest ``xxhash64(vec_id, 'ivf')``
     (a seedless pseudo-random sample, identical across runs and cluster
-    sizes), then Lloyd iterations with unit-normalized mean updates.
+    sizes); Lloyd iterations use unit-normalized mean updates (fixed
+    input partitioning ⇒ fixed partial-sum fold order ⇒ identical floats
+    across runs).
 
-    Centroids are k×d floats — driver-resident by design (kilobytes); the
-    assignment pass embeds them as literal arrays, so each Lloyd iteration
-    is ONE scan + ONE groupBy over the corpus with no join: at 10^9
-    vectors that is the only shape that doesn't shuffle the embeddings.
+    Scale shape: centroids are a k×d numpy matrix, **broadcast** to
+    executors; each Lloyd iteration is ONE ``mapInPandas`` scan of the
+    corpus computing, per Arrow batch, ``argmax(V @ Cᵀ)`` plus per-cell
+    partial sums — so the work per row is a BLAS matvec independent of
+    how k and d enter the *plan* (at IVF-appropriate scale, k ≈ √N ≈
+    3·10⁴ and d ≈ 768, an expression tree embedding k·d literals — the
+    round-2 design — dies in Catalyst long before execution; see
+    VERDICT.md r2 "what's wrong #2"). Only k·num_partitions tiny partial
+    rows leave the scan; the embeddings never shuffle. Assignments are
+    recomputed once AFTER the final centroid update, so the returned
+    (vec_id, cell) frame is consistent with the returned centroids.
+
+    Raises ``ValueError`` on an empty corpus or ``iters < 1``.
     Returns (assignments (vec_id, cell), centroids).
     """
+    import numpy as np
+    import pandas as pd
+
+    if iters < 1:
+        raise ValueError("ivf_index: iters must be >= 1")
+    spark = embeddings.sparkSession
     u = with_unit_vectors(embeddings).select("vec_id", F.col("_unit").alias("v"))
     u = u.persist()
-    d = len(u.select("v").first()["v"])
+    first = u.select("v").first()
+    if first is None:
+        u.unpersist()
+        raise ValueError("ivf_index: empty embeddings input")
     seed_ids = [
         r["vec_id"]
         for r in u.select("vec_id")
@@ -143,44 +196,67 @@ def ivf_index(
         .limit(n_centroids)
         .collect()
     ]
-    cents = [
-        list(r["v"])
-        for r in u.filter(F.col("vec_id").isin(seed_ids))
-        .orderBy("vec_id")
-        .collect()
-    ]
+    cents = np.asarray(
+        [
+            list(r["v"])
+            for r in u.filter(F.col("vec_id").isin(seed_ids))
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    k, d = cents.shape
 
-    def assign_expr(cs: list[list[float]]):
-        scored = F.array(
-            *[
-                F.struct(
-                    (-_dot(F.col("v"), F.array(*[F.lit(float(x)) for x in c]))).alias(
-                        "neg"
-                    ),
-                    F.lit(ci).alias("cell"),
-                )
-                for ci, c in enumerate(cs)
-            ]
-        )
-        return F.array_min(scored)["cell"]
-
-    assign = None
     for _ in range(iters):
-        assign = u.select("vec_id", "v", assign_expr(cents).alias("cell"))
-        sums = assign.groupBy("cell").agg(
-            *[F.avg(F.element_at("v", i + 1)).alias(f"m{i}") for i in range(d)],
-        )
-        new = {r["cell"]: [r[f"m{i}"] for i in range(d)] for r in sums.collect()}
-        import math
+        bc = spark.sparkContext.broadcast(cents)
 
-        for ci in range(len(cents)):
-            if ci in new:
-                m = new[ci]
-                nrm = math.sqrt(sum(x * x for x in m)) or 1.0
-                cents[ci] = [x / nrm for x in m]
-    out = assign.select("vec_id", "cell")
-    u.unpersist()
-    return out, cents
+        def part_sums(batches):
+            C = bc.value
+            kk, dd = C.shape
+            sums = np.zeros((kk, dd), dtype=np.float64)
+            cnt = np.zeros(kk, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf["v"].to_numpy())
+                cells = np.argmax(V @ C.T, axis=1)
+                np.add.at(sums, cells, V)
+                cnt += np.bincount(cells, minlength=kk)
+            yield pd.DataFrame(
+                {"cell": np.arange(kk), "cnt": cnt, "s": list(sums)}
+            )
+
+        parts = u.select("v").mapInPandas(
+            part_sums, schema="cell int, cnt long, s array<double>"
+        ).collect()
+        total = np.zeros((k, d), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in parts:  # collect order = partition order: deterministic
+            total[r["cell"]] += np.asarray(r["s"])
+            counts[r["cell"]] += r["cnt"]
+        for ci in range(k):
+            if counts[ci] > 0:
+                m = total[ci] / counts[ci]
+                cents[ci] = m / (np.linalg.norm(m) or 1.0)
+
+    bc_fin = spark.sparkContext.broadcast(cents)
+
+    def assign_final(batches):
+        C = bc_fin.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "cell": np.argmax(V @ C.T, axis=1).astype(np.int32),
+                }
+            )
+
+    out = u.mapInPandas(assign_final, schema="vec_id long, cell int")
+    u.unpersist()  # cache freed; lazy consumers recompute the unit scan once
+    return out, [list(c) for c in cents]
 
 
 def ivf_topk(
@@ -270,6 +346,78 @@ def hyperplane_signatures(embeddings: DataFrame, num_planes: int = 16) -> DataFr
     return embeddings.select("vec_id", bits.alias("sig"))
 
 
+def _banded(df: DataFrame, idc: str, sigc, bands: int, rows: int) -> DataFrame:
+    """(id, band, bucket) — split a plane-signature array into ``bands``
+    bucket strings of ``rows`` sign bits each (the banding trick: one
+    shared band ⇒ candidate)."""
+    return df.select(
+        idc,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[F.element_at(sigc, b * rows + r + 1) for r in range(rows)],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(idc, "bb.band", "bb.bucket")
+
+
+def cosine_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 24,
+    bands: int = 24,
+    round_dp: int = 6,
+    max_bucket_size: int | None = 100_000,
+) -> DataFrame:
+    """(a, b, cos) near-dup pairs via LSH candidates + exact verify — the
+    at-scale composition of ``cosine_near_dup_pairs`` (which is O(N²·d)
+    all-pairs and exists as the small-N oracle/verifier).
+
+    Shape: signature bands → bucket self-join (a < b) → distinct candidate
+    pairs → exact cosine ≥ threshold. No crossJoin anywhere in the plan;
+    work is O(candidate pairs · d). Identical vectors share every band, so
+    exact-copy recall is structural. Candidate economics follow the
+    threshold: at 0.95+ a few multi-row bands prune aggressively; at low
+    thresholds recall needs many bands (``bands == num_planes`` degrades
+    to per-bit blocking — fine for verification corpora, wasteful at
+    scale). ``max_bucket_size`` hash-thins degenerate buckets; leave None
+    when the oracle gate requires exact recall.
+    """
+    rows = num_planes // bands
+    sig = hyperplane_signatures(embeddings, num_planes)
+    bk = _banded(sig, "vec_id", F.col("sig"), bands, rows)
+    if max_bucket_size is not None:
+        from hoshizora_spark.text import cap_bucket_size
+
+        bk = cap_bucket_size(bk, ["band", "bucket"], "vec_id", max_bucket_size)
+    la = bk.select(F.col("vec_id").alias("a"), "band", "bucket")
+    lb = bk.select(F.col("vec_id").alias("b"), "band", "bucket")
+    cand = (
+        la.join(lb, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    u = with_unit_vectors(embeddings).select("vec_id", "_unit")
+    ua = u.select(F.col("vec_id").alias("a"), F.col("_unit").alias("ua"))
+    ub = u.select(F.col("vec_id").alias("b"), F.col("_unit").alias("ub"))
+    return (
+        cand.join(ua, "a")
+        .join(ub, "b")
+        .select("a", "b", F.round(_dot(F.col("ua"), F.col("ub")), round_dp).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -293,30 +441,12 @@ def ann_lsh_topk(
         queries.select(F.col("query_id").alias("vec_id"), "embedding"), num_planes
     ).select(F.col("vec_id").alias("query_id"), F.col("sig").alias("qsig"))
 
-    def banded(df, idc, sigc):
-        return df.select(
-            idc,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.concat_ws(
-                                ",", *[F.element_at(sigc, b * rows + r + 1) for r in range(rows)]
-                            ).alias("bucket"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select(idc, "bb.band", "bb.bucket")
-
-    bc = banded(sig_c, "vec_id", F.col("sig"))
+    bc = _banded(sig_c, "vec_id", F.col("sig"), bands, rows)
     if max_bucket_size is not None:
         from hoshizora_spark.text import cap_bucket_size
 
         bc = cap_bucket_size(bc, ["band", "bucket"], "vec_id", max_bucket_size)
-    bq = banded(sig_q, "query_id", F.col("qsig"))
+    bq = _banded(sig_q, "query_id", F.col("qsig"), bands, rows)
     cand = bc.join(bq, ["band", "bucket"]).select("query_id", "vec_id").distinct()
 
     corp = with_unit_vectors(embeddings).select("vec_id", F.col("_unit").alias("cv"))

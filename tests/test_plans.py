@@ -98,3 +98,40 @@ def test_keyed_gas_plan_uses_arrow_not_row_python(spark):
     plan = _plan(freq)
     assert "BatchEvalPython" not in plan
     assert "FlatMapGroupsInPandas" in plan  # Arrow-batched keyed fold
+
+
+def test_cosine_topk_partial_is_map_side_bounded(spark, sf_dir):
+    """The per-partition top-k partial runs inside the map task (Arrow
+    MapInPandas), so the exchange carries ≤ k rows per (query, partition)
+    — a collect_list partial would ship every scored row (ADVICE r2)."""
+    from hoshizora_spark import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.limit(2).selectExpr("vec_id as query_id", "embedding")
+    plan = _plan(similarity.cosine_topk(emb, q, k=3))
+    assert "MapInPandas" in plan
+    assert "Window" not in plan
+
+
+def test_cosine_near_dup_lsh_no_crossjoin(spark, sf_dir):
+    from hoshizora_spark import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(similarity.cosine_near_dup_lsh(emb, threshold=0.5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_assignment_plan_independent_of_centroid_count(spark, sf_dir):
+    """The IVF cell assignment must NOT embed k·d centroid literals in the
+    plan (the r2 scale-killer): plan size stays flat as n_centroids grows
+    because centroids travel as a broadcast numpy matrix."""
+    from hoshizora_spark import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a4, _ = similarity.ivf_index(emb, n_centroids=4, iters=1)
+    a16, _ = similarity.ivf_index(emb, n_centroids=16, iters=1)
+    p4, p16 = _plan(a4), _plan(a16)
+    assert "MapInPandas" in p16
+    # literal-embedding plans grow ~4× here; broadcast plans stay put
+    assert len(p16) < 1.2 * len(p4)

@@ -282,3 +282,47 @@ def test_ivf_index_deterministic_and_partitioned(spark, clustered_emb):
     for c in range(3):
         cells = Counter(m1[i] for i in range(300) if i % 3 == c)
         assert cells.most_common(1)[0][1] >= 0.95 * sum(cells.values())
+
+
+def test_ivf_index_input_guards(spark):
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], schema="vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="empty"):
+        similarity.ivf_index(empty, n_centroids=2, iters=1)
+    one = spark.createDataFrame([(0, [1.0, 0.0])], schema="vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="iters"):
+        similarity.ivf_index(one, n_centroids=1, iters=0)
+
+
+def test_ivf_assignments_consistent_with_returned_centroids(spark, clustered_emb):
+    """Assignments must be computed against the RETURNED (post-update)
+    centroids, not the previous iteration's (ADVICE r2): recomputing the
+    argmax from the returned centroid list reproduces the assignment."""
+    import numpy as np
+
+    assign, cents = similarity.ivf_index(clustered_emb, n_centroids=3, iters=3)
+    C = np.asarray(cents)
+    got = {r["vec_id"]: r["cell"] for r in assign.collect()}
+    rows = clustered_emb.collect()
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        assert got[r["vec_id"]] == int(np.argmax(C @ v))
+
+
+def test_cosine_near_dup_lsh_matches_exact_on_clusters(spark, clustered_emb):
+    """LSH candidates → exact verify recovers every all-pairs near-dup on
+    the clustered fixture (recall gate, same discipline as ann_lsh_topk)."""
+    exact = {
+        (r["a"], r["b"], r["cos"])
+        for r in similarity.cosine_near_dup_pairs(clustered_emb, threshold=0.99).collect()
+    }
+    lsh = {
+        (r["a"], r["b"], r["cos"])
+        for r in similarity.cosine_near_dup_lsh(
+            clustered_emb, threshold=0.99, num_planes=24, bands=12
+        ).collect()
+    }
+    assert len(exact) > 0
+    assert lsh == exact
