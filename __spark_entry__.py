@@ -408,14 +408,22 @@ def q_kcore_small(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_clustering_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Louvain-style clustering with coarsening (rows-only: iterative)."""
+    """Louvain-style clustering with coarsening (rows-only: iterative).
+
+    HZ_CLUSTERING_CSR=1 routes each level's best-move superstep through
+    the CSR gain-argmax fold; labels are bit-identical to the DF plan
+    (test_clustering_csr_bitmatches_df_path), so the oracle is green
+    through either path."""
+    import os
+
     from hoshizora_spark import Graph, clustering
 
     edges = _edges_cooccur(spark, sf_dir).filter(
         (F.col("src") < 200) & (F.col("dst") < 200)
     )
     g = Graph.from_edges(edges)
-    return clustering(g, num_clusters_hint=10).assign
+    use_csr = os.environ.get("HZ_CLUSTERING_CSR", "") == "1"
+    return clustering(g, num_clusters_hint=10, use_csr=use_csr).assign
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

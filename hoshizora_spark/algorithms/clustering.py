@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from hoshizora_spark.graph.core import Graph, maybe_broadcast
 from hoshizora_spark.graph.ids import assign_dense_ids
+from hoshizora_spark.runtime.checkpoint import cut_lineage
 
 
 @dataclass
@@ -44,11 +45,12 @@ class ClusteringResult:
     clusters_per_level: list[int] = field(default_factory=list)
 
 
-def _best_moves(
-    edges_w: DataFrame, vprops: DataFrame, m_all: int, threshold: float, num_coarse: int
+def _strength_q(
+    edges_w: DataFrame, vprops: DataFrame, m_all: int, num_coarse: int
 ) -> DataFrame:
-    """(cid, new_label, moved) per coarse vertex — the one-superstep GAS pass."""
-    # strength: e_ii + out weights + in weights  (clustering_louvain.h:28-42)
+    """(cid, q) — strength/2M per coarse vertex (clustering_louvain.h:28-42):
+    q = (e_ii + Σ_out w + Σ_in w) / (2M). Shared by the DF and CSR paths so
+    their gain arithmetic starts from identical doubles."""
     outw = edges_w.groupBy("src").agg(F.sum("w").alias("ow"))
     inw = edges_w.groupBy("dst").agg(F.sum("w").alias("iw"))
     q = (
@@ -62,7 +64,30 @@ def _best_moves(
             ).alias("q"),
         )
     )
-    q = maybe_broadcast(q, num_coarse, 200_000)
+    # localCheckpoint before the multi-reference fan-out: q is read 2×
+    # downstream (q_src/q_dst) on top of edges_w's 2 reads here — without
+    # the cut, per-level Catalyst analysis grows superlinearly across
+    # levels (the ≥3-references trap in CLAUDE.md; measured: level 6's
+    # superstep went from <1 s to minutes on g6_powerlaw).
+    q = cut_lineage(q)
+    return maybe_broadcast(q, num_coarse, 200_000)
+
+
+def _moves_from_best(best: DataFrame, vprops: DataFrame, num_coarse: int) -> DataFrame:
+    """Common tail: (cid, adopt) ⋈ all vertices → (cid, new_label, moved)."""
+    best = maybe_broadcast(best, num_coarse, 200_000)
+    return vprops.select("cid").join(best, "cid", "left").select(
+        "cid",
+        F.coalesce(F.col("adopt"), F.col("cid")).alias("new_label"),
+        F.col("adopt").isNotNull().alias("moved"),
+    )
+
+
+def _best_moves(
+    edges_w: DataFrame, vprops: DataFrame, m_all: int, threshold: float, num_coarse: int
+) -> DataFrame:
+    """(cid, new_label, moved) per coarse vertex — the one-superstep GAS pass."""
+    q = _strength_q(edges_w, vprops, m_all, num_coarse)
     qs = q.select(F.col("cid").alias("src"), F.col("q").alias("q_src"))
     qd = q.select(F.col("cid").alias("dst"), F.col("q").alias("q_dst"))
     gains = (
@@ -88,12 +113,41 @@ def _best_moves(
             F.least(-F.col("top.neg_src"), F.col("dst")).alias("adopt"),
         )
     )
-    best = maybe_broadcast(best, num_coarse, 200_000)
-    return vprops.select("cid").join(best, "cid", "left").select(
-        "cid",
-        F.coalesce(F.col("adopt"), F.col("cid")).alias("new_label"),
-        F.col("adopt").isNotNull().alias("moved"),
+    return _moves_from_best(best, vprops, num_coarse)
+
+
+def _best_moves_csr(
+    edges_w: DataFrame,
+    vprops: DataFrame,
+    m_all: int,
+    threshold: float,
+    num_coarse: int,
+) -> DataFrame:
+    """CSR fast-path twin of ``_best_moves``: the per-edge gain + per-dst
+    argmax fold run inside numpy over raw-weight CSR blocks
+    (runtime/gas.gas_gain_argmax), instead of the join+groupBy plan. Same
+    q frame, same driver-side ``2M`` literal, same final
+    ``max(struct(gain, -src))`` merge — bit-identical labels by design
+    (asserted by test_clustering_csr_bitmatches_df_path)."""
+    from hoshizora_spark.graph.core import Graph
+    from hoshizora_spark.graph.csr import build_csr_blocks
+    from hoshizora_spark.runtime.gas import dst_route_table, gas_gain_argmax
+
+    cg = Graph(edges=edges_w, num_vertices=num_coarse)
+    csr = build_csr_blocks(cg, weight_col="w", normalize_weights=False)
+    # materialized: route is edges_w's 2nd-4th read this level (build +
+    # outw/inw in _strength_q) — cut the plan here, same ≥3-references
+    # discipline as _strength_q's q checkpoint
+    route = cut_lineage(dst_route_table(csr, edges_w))
+    q = _strength_q(edges_w, vprops, m_all, num_coarse).select("cid", "q")
+    top = gas_gain_argmax(
+        csr, q.select(F.col("cid").alias("vid"), "q"), route, 2.0 * m_all, threshold
     )
+    best = top.select(
+        F.col("dst").alias("cid"),
+        F.least(F.col("src"), F.col("dst")).alias("adopt"),
+    )
+    return _moves_from_best(best, vprops, num_coarse)
 
 
 def _pointer_jump(labels: DataFrame, num_coarse: int, max_hops: int = 64) -> DataFrame:
@@ -104,7 +158,7 @@ def _pointer_jump(labels: DataFrame, num_coarse: int, max_hops: int = 64) -> Dat
     """
     from pyspark.sql import Observation
 
-    cur = labels.localCheckpoint(eager=True)
+    cur = cut_lineage(labels)
     for hop_i in range(max_hops):
         hop = maybe_broadcast(
             cur.select(F.col("cid").alias("jcid"), F.col("new_label").alias("jlabel")),
@@ -120,7 +174,8 @@ def _pointer_jump(labels: DataFrame, num_coarse: int, max_hops: int = 64) -> Dat
                 (F.coalesce("jlabel", "new_label") != F.col("new_label")).alias("ch"),
             )
             .observe(obs, F.sum(F.col("ch").cast("long")).alias("changed"))
-        ).localCheckpoint(eager=True)
+        )
+        nxt = cut_lineage(nxt)
         changed = int(obs.get.get("changed") or 0)
         cur = nxt.select("cid", "new_label")
         if changed == 0:
@@ -133,8 +188,13 @@ def clustering(
     num_clusters_hint: int = 100,
     threshold: float = 3e-5,
     max_levels: int = 20,
+    use_csr: bool = False,
 ) -> ClusteringResult:
-    """Defaults mirror pybind (/root/reference/src/hoshizora/pybind.cpp:15-21)."""
+    """Defaults mirror pybind (/root/reference/src/hoshizora/pybind.cpp:15-21).
+
+    ``use_csr=True`` runs each level's best-move superstep through the
+    CSR-block numpy fold (``_best_moves_csr``) — the same fast path the
+    iterative algorithms use; labels are bit-identical to the DF path."""
     spark = graph.spark
     V = graph.num_vertices
     m_all = graph.edges.count()  # graph.num_all_edges = num_edges (apps.h:71)
@@ -148,7 +208,7 @@ def clustering(
     # level-0 coarse graph: weight 1 per distinct out-edge (apps.h:58-66 uses
     # an unordered_map per src, so multi-edges collapse to weight 1), e_ii=0
     assign = graph.vertices().select(F.col("vid"), F.col("vid").alias("coarse"))
-    assign = assign.localCheckpoint(eager=True)
+    assign = cut_lineage(assign)
     edges_w = (
         graph.edges.filter(F.col("src") != F.col("dst"))
         .distinct()
@@ -158,14 +218,15 @@ def clustering(
         F.col("vid").alias("cid"), F.lit(0.0).alias("e_ii")
     )
     num_coarse = V
-    edges_w = edges_w.localCheckpoint(eager=True)
-    vprops = vprops.localCheckpoint(eager=True)
+    edges_w = cut_lineage(edges_w)
+    vprops = cut_lineage(vprops)
 
     levels = 0
     sizes: list[int] = []
+    step = _best_moves_csr if use_csr else _best_moves
     while True:
-        moves = _best_moves(edges_w, vprops, m_all, threshold, num_coarse)
-        moves = moves.localCheckpoint(eager=True)
+        moves = step(edges_w, vprops, m_all, threshold, num_coarse)
+        moves = cut_lineage(moves)
         any_moved = moves.filter(F.col("moved")).count() > 0
         labels = _pointer_jump(moves.select("cid", "new_label"), num_coarse)
 
@@ -180,16 +241,29 @@ def clustering(
         cmap = labels.join(packed, labels.new_label == packed.lbl).select(
             F.col("cid"), F.col("packed")
         )
+        # cmap is referenced 4× below (assign remap, cs, cd, carried):
+        # checkpoint the projection so each reference is a leaf, not a
+        # re-analyzed join plan (≥3-references trap, CLAUDE.md)
+        cmap = cut_lineage(cmap)
         cmap = maybe_broadcast(cmap, num_coarse, 200_000)
-        assign = (
+        assign = cut_lineage(
             assign.join(cmap, assign.coarse == cmap.cid)
             .select("vid", F.col("packed").alias("coarse"))
-            .localCheckpoint(eager=True)
         )
         levels += 1
         sizes.append(new_k)
 
-        if not (new_k > num_clusters_hint and any_moved) or levels >= max_levels:
+        # new_k == num_coarse ⇒ the label map was a bijection ⇒ every vertex
+        # was its own root ⇒ labels were identity and the coarse graph is
+        # unchanged — every further level recomputes the exact same moves.
+        # Breaking here is output-identical (fixpoint) and avoids spinning
+        # max_levels no-op rounds (measured: 20 × ~8 s on a graph whose
+        # best-move is always min(src,dst)=dst).
+        if (
+            not (new_k > num_clusters_hint and any_moved)
+            or new_k == num_coarse
+            or levels >= max_levels
+        ):
             num_coarse = new_k
             break
 
@@ -218,12 +292,11 @@ def clustering(
                 (F.coalesce("intra_w", F.lit(0.0)) + F.col("old_eii")).alias("e_ii"),
             )
         )
-        edges_w = (
+        edges_w = cut_lineage(
             rolled.filter(F.col("c_src") != F.col("c_dst"))
             .select(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"), "w")
-            .localCheckpoint(eager=True)
         )
-        vprops = new_vprops.localCheckpoint(eager=True)
+        vprops = cut_lineage(new_vprops)
         num_coarse = new_k
 
     return ClusteringResult(

@@ -155,6 +155,7 @@ def build_csr_blocks(
     target_edges_per_block: int = 4_000_000,
     sidecar_root: str | None = None,
     weight_col: str | None = None,
+    normalize_weights: bool = True,
 ) -> CsrBlocks:
     """One-time physical build (the analogue of ``Graph::from_edge_list``).
 
@@ -164,6 +165,10 @@ def build_csr_blocks(
     ``1/out_degree`` — so weighted PageRank (and any weight-reading kernel)
     runs on the CSR fast path with the same semantics as the DataFrame
     path's ``_weighted_edges``. Normalization happens once here, at build.
+
+    ``normalize_weights=False`` stores ``weight_col`` raw — kernels whose
+    per-edge term is the weight itself (the clustering gain,
+    clustering_louvain.h:44-60) need the unnormalized value.
     """
     spark = graph.spark
     V = graph.num_vertices
@@ -187,13 +192,17 @@ def build_csr_blocks(
         ew = graph.edges.join(deg, "src").select(
             "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w")
         )
-    else:
+    elif normalize_weights:
         # real weights, normalized per src at build (multi-edge entries keep
         # their own share; the per-dst reduceat fold sums them, matching the
         # DF path's groupBy(src,dst).sum)
         tot = graph.edges.groupBy("src").agg(F.sum(weight_col).alias("_tot"))
         ew = graph.edges.join(tot, "src").select(
             "src", "dst", (F.col(weight_col) / F.col("_tot")).alias("w")
+        )
+    else:
+        ew = graph.edges.select(
+            "src", "dst", F.col(weight_col).cast("double").alias("w")
         )
     interior = bounds[1:-1]
 

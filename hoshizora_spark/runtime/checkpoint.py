@@ -29,6 +29,34 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def cut_lineage(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint that is also a *stats-clean* leaf.
+
+    ``DataFrame.localCheckpoint`` cuts lineage but carries the ORIGIN
+    plan's statistics into the LogicalRDD leaf. In an iterative loop whose
+    per-round plan joins ≥2 checkpointed frames, the carried
+    ``sizeInBytes`` estimates MULTIPLY (visitJoin is a product of child
+    sizes), so the BigInt bit-length compounds geometrically round over
+    round — measured on the clustering coarsen loop: 64 → 561 → 5,034 bits
+    per level (~9×/level), with Catalyst stats estimation grinding
+    multi-minute ToomCook BigInteger multiplies by level 6. Rebuilding the
+    DataFrame from the checkpointed InternalRow RDD drops originStats, so
+    every round starts from a constant-size leaf (measured: flat
+    per-level analysis through 20 levels).
+
+    The rebuilt frame scans the SAME materialized RDD — no recompute, no
+    Python round-trip. Joins against it no longer auto-broadcast (its size
+    estimate is ``spark.sql.defaultSizeInBytes``); callers here always
+    hint explicitly via ``maybe_broadcast``, which survives the cut.
+    """
+    cp = df.localCheckpoint(eager=True)
+    jdf = cp._jdf
+    new_jdf = cp.sparkSession._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return DataFrame(new_jdf, cp.sparkSession)
+
+
 class CheckpointManager:
     def __init__(self, base_dir: str, algo: str, run_id: str | None = None) -> None:
         self.algo = algo

@@ -189,6 +189,116 @@ def gas_keyed_counts(csr: CsrBlocks, state: DataFrame, kernel: KeyedVectorKernel
     return partial.groupBy("dst", "key").agg(F.sum("cnt").alias("cnt"))
 
 
+def dst_route_table(csr: CsrBlocks, edges: DataFrame) -> DataFrame:
+    """(block_id, vid) — the blocks in which each vertex appears as a dst.
+
+    The GraphX-style vertex routing table: CSR blocks partition by *src*
+    range, so a fold whose per-edge term reads dst-side state (the
+    clustering gain's ``q_dst``, clustering_louvain.h:44-60) must replicate
+    that state into every block holding an in-edge of the vertex. Built
+    once per block build (one distinct over E rows); per-superstep cost is
+    then one join of the V-row state against this ≤min(E, V·B)-row table —
+    the distributed stand-in for the reference's shared-memory read of
+    ``v_data[dst]`` in ``gather``.
+    """
+    return (
+        edges.select(
+            csr.block_id_of(F.col("src")).alias("block_id"),
+            F.col("dst").alias("vid"),
+        )
+        .distinct()
+    )
+
+
+def gas_gain_argmax(
+    csr: CsrBlocks,
+    q: DataFrame,
+    dst_route: DataFrame,
+    c2m: float,
+    threshold: float,
+) -> DataFrame:
+    """(dst, gain, src) — per-dst argmax over in-edges of the modularity
+    gain ``2·(w/c2m − q_src·q_dst)``, keeping only gains strictly above
+    ``threshold``; ties broken toward the smallest src. This is the
+    reference clustering kernel's gather+sum on the CSR fast path
+    (clustering_louvain.h:44-75: gather computes the gain, sum is a strict
+    ``>`` fold in CSC src-ascending order ⇒ max gain, ties → smallest src).
+
+    ``q``: (vid, q) for every vertex. Blocks must be built with raw
+    weights (``normalize_weights=False``). Arithmetic matches the
+    DataFrame path bit-for-bit: same driver-computed ``c2m`` literal, same
+    IEEE double ops, and the final cross-block merge is the identical
+    ``max(struct(gain, -src))`` aggregate. Per-block partials bound a hot
+    vertex's fan-in at num_blocks rows, like every other CSR fold here.
+    """
+    path = csr.path
+    src_side = q.select(
+        "vid",
+        F.col("q").alias("val"),
+        csr.block_id_of(F.col("vid")).alias("block_id"),
+        F.lit(0).alias("role"),
+    )
+    dst_side = q.join(dst_route, "vid").select(
+        "vid", F.col("q").alias("val"), "block_id", F.lit(1).alias("role")
+    )
+    both = src_side.unionByName(dst_side)
+
+    def run_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from hoshizora_spark.graph.csr import load_block
+
+        lo, hi, _off, _idx, _w, src_sorted, w_sorted, uniq_dst, starts = load_block(
+            path, int(key[0])
+        )
+        empty = pd.DataFrame(
+            {
+                "dst": np.zeros(0, np.int64),
+                "gain": np.zeros(0, np.float64),
+                "src": np.zeros(0, np.int64),
+            }
+        )
+        n_edges = len(src_sorted)
+        if n_edges == 0:
+            return empty
+        role = pdf["role"].to_numpy(np.int32)
+        vids = pdf["vid"].to_numpy(np.int64)
+        qv = pdf["val"].to_numpy(np.float64)
+        is_src = role == 0
+        vals = np.zeros(hi - lo, dtype=np.float64)
+        vals[vids[is_src] - lo] = qv[is_src]
+        dvid, dq = vids[~is_src], qv[~is_src]
+        o = np.argsort(dvid)  # dst_route rows are distinct per block
+        q_dst_u = dq[o][np.searchsorted(dvid[o], uniq_dst)]
+        seg_lens = np.diff(np.r_[starts, n_edges])
+        # same expression shape as the DF path: 2.0*(w/c2m - q_s*q_d)
+        g = 2.0 * (w_sorted / c2m - vals[src_sorted] * np.repeat(q_dst_u, seg_lens))
+        keep = g > threshold
+        if not keep.any():
+            return empty
+        didx = np.repeat(np.arange(len(uniq_dst), dtype=np.int64), seg_lens)[keep]
+        gk = g[keep]
+        sk = src_sorted[keep].astype(np.int64) + lo
+        # per-dst head after (dst, gain desc, src asc) ordering == the
+        # reference's strict-'>' fold in src-ascending CSC order
+        order = np.lexsort((sk, -gk, didx))
+        dd, gg, ss = didx[order], gk[order], sk[order]
+        head = np.r_[True, dd[1:] != dd[:-1]]
+        return pd.DataFrame(
+            {"dst": uniq_dst[dd[head]], "gain": gg[head], "src": ss[head]}
+        )
+
+    partial = both.groupby("block_id").applyInPandas(
+        run_block, schema="dst long, gain double, src long"
+    )
+    top = partial.groupBy("dst").agg(
+        F.max(F.struct(F.col("gain"), (-F.col("src")).alias("neg_src"))).alias("top")
+    )
+    return top.select(
+        "dst",
+        F.col("top.gain").alias("gain"),
+        (-F.col("top.neg_src")).alias("src"),
+    )
+
+
 def gas_step(
     csr: CsrBlocks,
     state: DataFrame,

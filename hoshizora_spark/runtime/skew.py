@@ -44,6 +44,38 @@ def hot_keys(df: DataFrame, key: str, min_count: int) -> DataFrame:
     )
 
 
+def hot_keys_from_degrees(
+    degrees: DataFrame,
+    min_count: int,
+    key_col: str = "vid",
+    deg_col: str = "out_deg",
+    out_key: str | None = None,
+) -> DataFrame:
+    """Hot-key set from a live degree histogram — the bridge from
+    ``streaming.ingest.streaming_degrees_windowed``'s sink table to the
+    salting decisions (``salted_join_edges_state``'s ``hot`` input).
+
+    ``degrees`` is the windowed degree table (window_start, window_end,
+    vid, out_deg) — read back from the stream's sink, or any batch frame
+    with the same shape. Only the MOST RECENT window per vertex counts:
+    hot *now* is what skews the next superstep; a vertex that was hot two
+    windows ago and went quiet must not keep paying the replication cost.
+    One ``max_by`` aggregation; the result is small by construction
+    (power law tail above the cut).
+    """
+    if "window_start" in degrees.columns:
+        cur = degrees.groupBy(key_col).agg(
+            F.max_by(deg_col, F.col("window_start")).alias(deg_col)
+        )
+    else:  # plain (vid, out_deg) total-degree table: use as-is
+        cur = degrees
+    out = out_key or key_col
+    return (
+        cur.filter(F.col(deg_col) > min_count)
+        .select(F.col(key_col).alias(out))
+    )
+
+
 def salted_sum(
     df: DataFrame,
     key: str,

@@ -35,6 +35,10 @@ NUM_E = int(os.environ.get("HZ_SCALE_E", 128_000_000))
 LEVELS = tuple(
     int(x) for x in os.environ.get("HZ_SCALE_LEVELS", "4,16").split(",")
 )
+# Interleaved repeats (8,32,8,32,...) in ONE session: back-to-back runs on
+# this VM differ ±2× from noise (CLAUDE.md protocol), interleaving is the
+# only valid A/B here. Per level we report every rep plus best-of.
+REPEATS = int(os.environ.get("HZ_SCALE_REPEATS", "1"))
 
 
 def build_input() -> None:
@@ -126,20 +130,43 @@ def main() -> None:
         print(json.dumps(run_level(int(sys.argv[2]))))
         return
     DATA_DIR.mkdir(parents=True, exist_ok=True)
-    if not (DATA_DIR / "meta.json").exists():
+    meta_p = DATA_DIR / "meta.json"
+    stale = True
+    if meta_p.exists():
+        m = json.loads(meta_p.read_text())
+        stale = (m.get("num_vertices"), m.get("num_edges")) != (NUM_V, NUM_E)
+        if stale:
+            print(
+                f"cached input is V={m.get('num_vertices')} E={m.get('num_edges')}, "
+                f"want V={NUM_V} E={NUM_E}: rebuilding", file=sys.stderr,
+            )
+    if stale:
         build_input()
-    results = {}
+    reps: dict[int, list[dict]] = {c: [] for c in LEVELS}
+    for rep in range(REPEATS):
+        for cpus in LEVELS:
+            env = dict(os.environ)
+            proc = subprocess.run(
+                [sys.executable, __file__, "--run", str(cpus)],
+                capture_output=True, text=True, env=env, timeout=3600,
+            )
+            if proc.returncode != 0:
+                print(proc.stderr[-3000:], file=sys.stderr)
+                raise SystemExit(f"level {cpus} rep {rep} failed")
+            r = json.loads(proc.stdout.strip().splitlines()[-1])
+            reps[cpus].append(r)
+            print(json.dumps(r), file=sys.stderr)
+    results: dict = {}
     for cpus in LEVELS:
-        env = dict(os.environ)
-        proc = subprocess.run(
-            [sys.executable, __file__, "--run", str(cpus)],
-            capture_output=True, text=True, env=env, timeout=3600,
-        )
-        if proc.returncode != 0:
-            print(proc.stderr[-3000:], file=sys.stderr)
-            raise SystemExit(f"level {cpus} failed")
-        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
-        print(json.dumps(results[cpus]), file=sys.stderr)
+        best = max(reps[cpus], key=lambda r: r["csr_edges_per_sec"])
+        best_df = max(reps[cpus], key=lambda r: r["df_edges_per_sec"])
+        results[cpus] = {
+            **best,
+            "df_edges_per_sec": best_df["df_edges_per_sec"],
+            "df_median_superstep_s": best_df["df_median_superstep_s"],
+            "reps_csr_edges_per_sec": [r["csr_edges_per_sec"] for r in reps[cpus]],
+            "reps_df_edges_per_sec": [r["df_edges_per_sec"] for r in reps[cpus]],
+        }
     n, n4 = LEVELS
     for path in ("df", "csr"):
         tn = results[n][f"{path}_edges_per_sec"]

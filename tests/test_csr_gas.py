@@ -97,3 +97,73 @@ def test_lpa_csr_bitmatches_df_path(spark, name):
     csr_rows = {r["vid"]: r["label"] for r in csr_res.labels.collect()}
     assert df_rows == csr_rows, f"{name}: CSR labels diverge from DF labels"
     assert df_res.rounds == csr_res.rounds
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["g1_chain", "g2_cycle", "g3_star", "g4_two_triangles_bridge",
+     "g5_multi_dup_isolated", "g6_powerlaw", "g7_bipartite"],
+)
+def test_clustering_csr_bitmatches_df_path(spark, name):
+    """The clustering best-move superstep through the CSR gain-argmax fold
+    (gas_gain_argmax over raw-weight blocks) must produce bit-identical
+    cluster assignments, level counts, and per-level sizes vs the
+    DataFrame plan — same q frame, same IEEE double gain arithmetic, same
+    final max(struct(gain, -src)) merge."""
+    from hoshizora_spark.algorithms.clustering import clustering
+
+    g = _graph(spark, name)
+    df_res = clustering(g)
+    csr_res = clustering(g, use_csr=True)
+    df_rows = {r["vid"]: r["cluster"] for r in df_res.assign.collect()}
+    csr_rows = {r["vid"]: r["cluster"] for r in csr_res.assign.collect()}
+    assert df_rows == csr_rows, f"{name}: CSR clusters diverge from DF clusters"
+    assert df_res.num_clusters == csr_res.num_clusters
+    assert df_res.levels == csr_res.levels
+    assert df_res.clusters_per_level == csr_res.clusters_per_level
+
+
+def test_gas_gain_argmax_matches_numpy(spark):
+    """Direct fold check on a weighted multigraph-free coarse graph: the
+    (dst, gain, src) frame equals a brute-force numpy evaluation of
+    2*(w/c2m - q_s*q_d) with strict-threshold, min-src tiebreak."""
+    from hoshizora_spark.graph.csr import build_csr_blocks
+    from hoshizora_spark.runtime.gas import dst_route_table, gas_gain_argmax
+
+    edges = [(0, 1, 2.0), (2, 1, 3.0), (3, 1, 3.0), (1, 0, 1.0), (4, 2, 0.5),
+             (0, 4, 1.5), (2, 4, 1.5), (3, 0, 2.5)]
+    ew = spark.createDataFrame(edges, schema="src long, dst long, w double")
+    g = Graph(edges=ew, num_vertices=5)
+    csr = build_csr_blocks(g, num_blocks=3, weight_col="w", normalize_weights=False)
+    qvals = {0: 0.30, 1: 0.45, 2: 0.20, 3: 0.15, 4: 0.10}
+    q = spark.createDataFrame(list(qvals.items()), schema="vid long, q double")
+    c2m, thr = 16.0, 0.05
+    got = {
+        r["dst"]: (r["gain"], r["src"])
+        for r in gas_gain_argmax(csr, q, dst_route_table(csr, ew), c2m, thr).collect()
+    }
+    best: dict[int, tuple] = {}
+    for s, d, w in edges:
+        gain = 2.0 * (w / c2m - qvals[s] * qvals[d])
+        if gain > thr and (d not in best or (-gain, s) < (-best[d][0], best[d][1])):
+            best[d] = (gain, s)
+    assert got == best
+
+
+def test_clustering_entry_query_equal_through_both_paths(spark, sf_dir, monkeypatch):
+    """The clustering_modularity driver query yields identical assignments
+    whether HZ_CLUSTERING_CSR routes it through the CSR fold or not — the
+    oracle row stays green through either path."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "hz_entry_csr_test", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    q = mod.queries()["clustering_modularity"]
+    monkeypatch.delenv("HZ_CLUSTERING_CSR", raising=False)
+    df_rows = {(r["vid"], r["cluster"]) for r in q(spark, sf_dir).collect()}
+    monkeypatch.setenv("HZ_CLUSTERING_CSR", "1")
+    csr_rows = {(r["vid"], r["cluster"]) for r in q(spark, sf_dir).collect()}
+    assert df_rows == csr_rows

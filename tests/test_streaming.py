@@ -137,3 +137,44 @@ def test_streaming_degrees_windowed_state_bounded(spark, tmp_path):
         assert ("2024-01-01 02:00:00", 0) not in finalized
     finally:
         q.stop()
+
+
+def test_windowed_degrees_drive_salting_decisions(spark):
+    """The live histogram → salting bridge: hot_keys_from_degrees reads the
+    streaming_degrees_windowed sink shape and feeds salted_join_edges_state.
+    Only the LATEST window's degree decides hotness — a vertex hot in an
+    old window but quiet now is not salted."""
+    from hoshizora_spark.runtime.skew import (
+        SALT_COL,
+        hot_keys_from_degrees,
+        salted_join_edges_state,
+    )
+    from hoshizora_spark.streaming.ingest import streaming_degrees_windowed
+
+    rows = (
+        # window 1 (00:00): vertex 7 bursts, vertex 3 quiet
+        [("2024-01-01 00:01:00", 7, i) for i in range(6)]
+        + [("2024-01-01 00:02:00", 3, 0)]
+        # window 2 (01:00, the latest): 3 bursts, 7 goes quiet
+        + [("2024-01-01 01:01:00", 3, i) for i in range(6)]
+        + [("2024-01-01 01:03:00", 7, 9)]
+    )
+    events = spark.createDataFrame(rows, schema="ts string, src long, dst long")
+    deg = streaming_degrees_windowed(events, window="10 minutes")
+
+    hot = hot_keys_from_degrees(deg, min_count=3, key_col="vid", out_key="src")
+    assert {r["src"] for r in hot.collect()} == {3}
+
+    # the hot set plugs straight into the skew-join transform
+    edges = events.select("src", "dst")
+    state = spark.createDataFrame(
+        [(v, float(v) * 10) for v in (0, 3, 7, 9)], schema="src long, rank double"
+    )
+    joined = salted_join_edges_state(edges, state, key="src", hot=hot, num_salts=4)
+    got = [(r["src"], r["dst"], r["rank"]) for r in joined.collect()]
+    plain = [
+        (r["src"], r["dst"], r["rank"])
+        for r in edges.join(state, "src").collect()
+    ]
+    assert sorted(got) == sorted(plain)
+    assert SALT_COL not in joined.columns
