@@ -172,6 +172,107 @@ def q_label_propagation_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.labels.join(present, "vid").select("vid", "label")
 
 
+def _edges_cooccur_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted co-occurrence: w = number of shared (order, lineitem) pairings
+    per supplier pair — the ``e_props`` analogue (reference core/graph.h:74)."""
+    li = _lineitem(spark, sf_dir).select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+
+
+def q_pagerank_csr_fixed30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CSR-block GAS engine itself under the value-hash oracle: same
+    fixed-30 PageRank, executed through per-block numpy gather + partial
+    fold (runtime/gas.py) instead of the DataFrame join plan."""
+    from hoshizora_spark import pagerank_csr
+
+    g = _graph_cooccur(spark, sf_dir)
+    res = pagerank_csr(g, tol=None, max_iters=PR_ITERS)
+    return res.ranks.select("vid", F.round("rank", 6).alias("rank"))
+
+
+def q_pagerank_weighted_fixed30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (rank flows ∝ edge weight) — reference e_props
+    semantics, fixed 30 supersteps, weighted chained-CTE oracle."""
+    from hoshizora_spark import Graph, pagerank
+
+    ew = _edges_cooccur_w(spark, sf_dir)
+    g = Graph.from_edges(ew, extra_cols=("w",))
+    res = pagerank(g, tol=None, max_iters=PR_ITERS, weight_col="w")
+    return res.ranks.select("vid", F.round("rank", 6).alias("rank"))
+
+
+def q_pagerank_weighted_csr_fixed30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank through CSR blocks built with src-normalized real
+    weights (build_csr_blocks weight_col) — same oracle as the DF path."""
+    from hoshizora_spark import Graph, pagerank_csr
+
+    ew = _edges_cooccur_w(spark, sf_dir)
+    g = Graph.from_edges(ew, extra_cols=("w",))
+    res = pagerank_csr(g, tol=None, max_iters=PR_ITERS, weight_col="w")
+    return res.ranks.select("vid", F.round("rank", 6).alias("rank"))
+
+
+def q_label_propagation_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPA through the keyed CSR fold (per-block (dst,label) run-length
+    counts) — bit-identical labels to the DF path, same 10-round oracle."""
+    from hoshizora_spark import Graph
+    from hoshizora_spark.algorithms.labelprop import label_propagation_csr
+
+    edges = _edges_cooccur(spark, sf_dir).filter(
+        (F.col("src") < 200) & (F.col("dst") < 200)
+    )
+    g = Graph.from_edges(edges)
+    res = label_propagation_csr(g, max_rounds=10)
+    present = (
+        edges.select(F.col("src").alias("vid"))
+        .union(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    return res.labels.join(present, "vid").select("vid", "label")
+
+
+def q_bfs_distances_csr_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS through the min-monoid CSR fold — same fixed-round relax oracle."""
+    from hoshizora_spark import Graph
+    from hoshizora_spark.algorithms.bfs import bfs_distances_csr
+
+    edges = _edges_cooccur(spark, sf_dir).filter(
+        (F.col("src") < 200) & (F.col("dst") < 200)
+    )
+    g = Graph.from_edges(edges)
+    present = (
+        edges.select(F.col("src").alias("vid"))
+        .union(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    res = bfs_distances_csr(g, sources=[1], directed=False)
+    return res.distances.join(present, "vid").select("vid", "dist")
+
+
+def q_clustering_modularity_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain-style clustering with every level's best-move superstep on
+    the CSR gain-argmax fold (gas_gain_argmax) — bit-identical labels to
+    the DF plan, so the same unrolled-driver-loop oracle gates it."""
+    from hoshizora_spark import Graph, clustering
+
+    edges = _edges_cooccur(spark, sf_dir).filter(
+        (F.col("src") < 200) & (F.col("dst") < 200)
+    )
+    g = Graph.from_edges(edges)
+    return clustering(g, num_clusters_hint=10, use_csr=True).assign
+
+
 # ------------------------------------------------- text / similarity ops
 
 
@@ -457,8 +558,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_total_bipartite": q_triangle_total_bipartite,
         "connected_components_small": q_connected_components_small,
         "pagerank_fixed30": q_pagerank_fixed30,
+        "pagerank_csr_fixed30": q_pagerank_csr_fixed30,
+        "pagerank_weighted_fixed30": q_pagerank_weighted_fixed30,
+        "pagerank_weighted_csr_fixed30": q_pagerank_weighted_csr_fixed30,
         "personalized_pagerank_fixed30": q_personalized_pagerank_fixed30,
         "label_propagation_small": q_label_propagation_small,
+        "label_propagation_csr": q_label_propagation_csr,
+        "bfs_distances_csr_small": q_bfs_distances_csr_small,
+        "clustering_modularity_csr": q_clustering_modularity_csr,
     }
 
 
@@ -589,6 +696,41 @@ def _pagerank_fixed_sql(iters: int, seeds: list[int] | None = None) -> str:
                 SELECT e.dst AS vid, sum(p.r / d.d) AS acc
                 FROM e JOIN pr{i - 1} p ON p.vid = e.src
                        JOIN deg d ON d.src = e.src
+                GROUP BY e.dst
+              ) m ON m.vid = v.vid
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT vid, round(r, 6) AS rank FROM pr{iters}"
+    )
+
+
+_WCOOCCUR_SQL = """
+    SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+           CAST(count(*) AS DOUBLE) AS w
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+"""
+
+
+def _pagerank_weighted_fixed_sql(iters: int) -> str:
+    """Weighted PageRank: msg = r(src) · w(src,dst) / Σ_dst' w(src,dst')."""
+    parts = [
+        f"we AS MATERIALIZED ({_WCOOCCUR_SQL})",
+        "nv AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n FROM we)",
+        "verts AS MATERIALIZED (SELECT unnest(generate_series(0, (SELECT n - 1 FROM nv))) AS vid)",
+        "tot AS MATERIALIZED (SELECT src, sum(w) AS tw FROM we GROUP BY src)",
+        "pr0 AS MATERIALIZED (SELECT vid, CAST(1.0 AS DOUBLE) AS r FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""pr{i} AS MATERIALIZED (
+              SELECT v.vid, 0.85 * coalesce(m.acc, 0) + 0.15 / (SELECT n FROM nv) AS r
+              FROM verts v LEFT JOIN (
+                SELECT e.dst AS vid, sum(p.r * e.w / t.tw) AS acc
+                FROM we e JOIN pr{i - 1} p ON p.vid = e.src
+                          JOIN tot t ON t.src = e.src
                 GROUP BY e.dst
               ) m ON m.vid = v.vid
             )"""
@@ -1001,11 +1143,20 @@ def oracle_sql() -> dict[str, str]:
         # construction; the exact SQL checks assignment+probe+re-rank.
         "ivf_topk": _COSINE_TOPK_SQL,
         "pagerank_fixed30": _pagerank_fixed_sql(PR_ITERS),
+        # CSR engine paths share the DF oracles — same fixed point, same
+        # rounding; bit-level path equivalence is additionally asserted in
+        # tests/test_csr_gas.py
+        "pagerank_csr_fixed30": _pagerank_fixed_sql(PR_ITERS),
+        "pagerank_weighted_fixed30": _pagerank_weighted_fixed_sql(PR_ITERS),
+        "pagerank_weighted_csr_fixed30": _pagerank_weighted_fixed_sql(PR_ITERS),
         "personalized_pagerank_fixed30": _pagerank_fixed_sql(PR_ITERS, seeds=[1, 2, 3]),
         "label_propagation_small": _lpa_fixed_sql(10),
+        "label_propagation_csr": _lpa_fixed_sql(10),
         "kcore_small": _kcore_hindex_sql(KCORE_ORACLE_ROUNDS),
         "bfs_distances_small": _bfs_fixed_sql(),
+        "bfs_distances_csr_small": _bfs_fixed_sql(),
         "clustering_modularity": _clustering_fixed_sql(),
+        "clustering_modularity_csr": _clustering_fixed_sql(),
         "edge_extract_bipartite": """
             SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
             FROM lineitem

@@ -48,7 +48,19 @@ _COMBINES = {"sum": F.sum, "min": F.min, "max": F.max}
 
 
 class VectorKernel(Protocol):
-    """Vectorized GAS kernel (numpy in, numpy out). Mirrors core/kernel.h."""
+    """Vectorized GAS kernel (numpy in, numpy out). Mirrors core/kernel.h.
+
+    Parity note — ``gather``'s ``prev_val`` (kernel.h:17-18): the reference
+    hands gather the edge's *previous-superstep* EData from a persistent
+    per-edge buffer (bulksync_gas_executor.h keeps E-sized arrays across
+    supersteps). Neither reference app reads it (pagerank.h / apps.h both
+    return a function of ``curr_val`` only), so this protocol does not
+    allocate per-edge state. A kernel that genuinely needs it expresses the
+    edge buffer as BSP state — carry (edge_id, eval) rows in the loop state
+    frame (E rows instead of V) and join them into the superstep — which is
+    the only retry-safe distributed form: worker-resident edge buffers
+    would silently reset whenever Spark recomputes a task.
+    """
 
     combine: str  # 'sum' | 'min' | 'max' — the zero+sum monoid
     state_type: str  # Spark type of the vertex state column, e.g. 'double'
