@@ -85,8 +85,14 @@ def pagerank(
     salt_hot_degree: int | None = None,
     num_salts: int = 16,
     weight_col: str | None = None,
+    fuse: int = 1,
 ) -> PageRankResult:
     """Pure-DataFrame path.
+
+    ``fuse`` (experimental): supersteps per lineage cut / convergence
+    check (see ``bsp_loop``). Same fixed point modulo float-sum reorder
+    (~1e-12); amortizes per-job driver latency when supersteps are
+    overhead-bound. A tol run may overshoot by ≤ fuse-1 supersteps.
 
     ``broadcast_vertices``: if V is at or below this, the rank table is
     broadcast into the message join so the (persisted, pre-partitioned)
@@ -153,6 +159,7 @@ def pagerank(
         resume=resume,
         edges_per_iter=num_msg_edges,
         metric_kind="delta",
+        fuse=fuse,
     )
     ew.unpersist()
     if hot is not None:
@@ -195,6 +202,7 @@ def pagerank_csr(
     checkpoint_every: int = 1,
     resume: bool = False,
     weight_col: str | None = None,
+    fuse: int = 1,
 ) -> PageRankResult:
     """CSR-block GAS path — same fixed point, hoshizora-style execution.
 
@@ -226,6 +234,7 @@ def pagerank_csr(
         resume=resume,
         edges_per_iter=csr.num_edges,
         metric_kind="delta",
+        fuse=fuse,
     )
     if own_csr:
         csr.unpersist()

@@ -45,6 +45,7 @@ def bsp_loop(
     resume: bool = False,
     edges_per_iter: int = -1,
     metric_kind: str = "delta",  # 'delta' -> max_abs_delta slot, 'changed' -> changed slot
+    fuse: int = 1,
 ) -> LoopResult:
     """Run supersteps until ``done(stat)`` or ``max_iters``.
 
@@ -60,9 +61,32 @@ def bsp_loop(
     * ``stat`` (fallback): a callable issuing its own action AFTER the
       lineage cut — one extra job per superstep; kept for statistics not
       expressible as a single aggregate.
+    * ``fuse`` (EXPERIMENTAL): supersteps per lineage cut / convergence
+      check. Same expressions and fold shapes as ``fuse=1``; results agree
+      to float-summation reordering (~1e-12 relative — Spark does not pin
+      the merge order of a double sum across plan shapes, so bit-equality
+      is NOT guaranteed; tests assert tight allclose). What changes is
+      scheduling: one checkpoint job + one Observation sync per ``fuse``
+      supersteps instead of per superstep, attacking the measured
+      ~1.3-2 s/superstep fixed driver cost (BENCH.md round-3 f+W/cores
+      fit). Intermediate sub-step states are ``persist()``-ed so each is
+      computed exactly once (a step references its input ≥2×; without the
+      cache a fused chain would re-execute geometrically). Convergence is
+      only observed per chunk, so a tol run may execute up to ``fuse-1``
+      supersteps past the crossing (harmless for contracting iterations).
+      Durable checkpoints stay on their ``checkpoint_every`` grid — chunks
+      never fuse across a save boundary, so resume granularity is
+      unchanged. ``stats`` gets one entry per chunk (the observed final
+      delta); ``wall_ms`` stays per superstep (chunk wall / sub-steps).
+      Status: correct on all fixtures, but on a 128M-edge input the fused
+      chunk planned/executed pathologically slowly (suspected AQE ×
+      nested-broadcast × InMemoryRelation interaction) — profile before
+      enabling on large inputs; the default stays 1 everywhere.
     """
     if stat_expr is None and stat is None:
         raise ValueError("bsp_loop needs stat_expr or stat")
+    if fuse < 1:
+        raise ValueError("bsp_loop: fuse must be >= 1")
     start = 0
     if resume and checkpoint is not None and checkpoint.latest_iter() is not None:
         start = checkpoint.latest_iter() + 1
@@ -74,15 +98,33 @@ def bsp_loop(
     walls: list[float] = []
     converged = False
     rounds = 0
-    for it in range(start, max_iters):
+    it = start
+    while it < max_iters:
+        # chunk of n_sub supersteps: bounded by fuse, max_iters, and the
+        # durable-save grid (a chunk ends ON a boundary, never crosses one)
+        n_sub = 1
+        while (
+            n_sub < fuse
+            and it + n_sub < max_iters
+            and not (checkpoint is not None and (it + n_sub - 1) % checkpoint_every == 0)
+        ):
+            n_sub += 1
+        last_it = it + n_sub - 1
         t0 = time.perf_counter()
         nxt = step(state, it)
+        mids: list[DataFrame] = []
+        for j in range(1, n_sub):
+            mid = restore(nxt).persist()
+            mids.append(mid)
+            nxt = step(mid, it + j)
         obs = None
         if stat_expr is not None:
-            obs = Observation(f"hz_stat_{it}")
+            obs = Observation(f"hz_stat_{last_it}")
             nxt = nxt.observe(obs, stat_expr.alias("stat"))
-        if checkpoint is not None and (it % checkpoint_every == 0 or it == max_iters - 1):
-            nxt = checkpoint.save_state(it, nxt)
+        if checkpoint is not None and (
+            last_it % checkpoint_every == 0 or last_it == max_iters - 1
+        ):
+            nxt = checkpoint.save_state(last_it, nxt)
         else:
             nxt = nxt.localCheckpoint(eager=True)
         if obs is not None:
@@ -91,19 +133,22 @@ def bsp_loop(
         else:
             s = stat(nxt)
         wall = (time.perf_counter() - t0) * 1000.0
+        for mid in mids:  # chunk is materialized; intermediates are dead
+            mid.unpersist()
         stats.append(s)
-        walls.append(wall)
+        walls.extend([wall / n_sub] * n_sub)
         if checkpoint is not None:
             checkpoint.append_metrics(
                 spark,
-                it,
+                last_it,
                 edges_per_iter,
                 wall,
                 s if metric_kind == "delta" else None,
                 int(s) if metric_kind == "changed" else None,
             )
         state = restore(nxt)
-        rounds = it - start + 1
+        rounds = last_it - start + 1
+        it += n_sub
         if done(s):
             converged = True
             break

@@ -39,6 +39,11 @@ LEVELS = tuple(
 # this VM differ ±2× from noise (CLAUDE.md protocol), interleaving is the
 # only valid A/B here. Per level we report every rep plus best-of.
 REPEATS = int(os.environ.get("HZ_SCALE_REPEATS", "1"))
+# supersteps per lineage cut (bsp_loop fuse): amortizes the ~1.4s/superstep
+# fixed driver cost (2 broadcast jobs + checkpoint job + Observation sync)
+# measured by the f + W/cores fit in BENCH.md — the term that caps local
+# N→4N efficiency once supersteps shrink below a few seconds.
+FUSE = int(os.environ.get("HZ_SCALE_FUSE", "1"))
 
 
 def build_input() -> None:
@@ -98,12 +103,12 @@ def run_level(cpus: int) -> dict:
         s = sorted(xs)
         return s[len(s) // 2]
 
-    out: dict = {"cpus": cpus, **meta}
+    out: dict = {"cpus": cpus, "fuse": FUSE, **meta}
     # DataFrame path: run WARMUP then MEASURE supersteps; report both the
     # total and the median per-superstep (robust to VM noise spikes).
     res = pagerank(g, tol=None, max_iters=2)  # warmup JVM/codegen
     t0 = time.perf_counter()
-    res = pagerank(g, tol=None, max_iters=MEASURE_DF)
+    res = pagerank(g, tol=None, max_iters=MEASURE_DF, fuse=FUSE)
     df_wall = time.perf_counter() - t0
     med = median(res.wall_ms_per_iter) / 1000.0
     out["df_wall_s"] = round(df_wall, 3)
@@ -114,7 +119,7 @@ def run_level(cpus: int) -> dict:
     # physical layout (32 blocks), only the core count varies.
     pagerank_csr(g, csr, tol=None, max_iters=WARMUP)
     t0 = time.perf_counter()
-    resc = pagerank_csr(g, csr, tol=None, max_iters=MEASURE)
+    resc = pagerank_csr(g, csr, tol=None, max_iters=MEASURE, fuse=FUSE)
     csr_wall = time.perf_counter() - t0
     medc = median(resc.wall_ms_per_iter) / 1000.0
     out["csr_wall_s"] = round(csr_wall, 3)
