@@ -715,7 +715,15 @@ _WCOOCCUR_SQL = """
 
 
 def _pagerank_weighted_fixed_sql(iters: int) -> str:
-    """Weighted PageRank: msg = r(src) · w(src,dst) / Σ_dst' w(src,dst')."""
+    """Weighted PageRank: msg = r(src) · w(src,dst) / Σ_dst' w(src,dst').
+
+    Float-op-order caveat (shared with the unweighted oracle): this sums
+    ``r·w/tw`` per edge while the Spark path precomputes ``w/tw`` once and
+    sums ``r·(w/tw)`` — the two differ in the last ulp for some inputs, so
+    a round(,6) value-hash could flip at an exact rounding boundary on
+    other scale factors. Accepted per repo convention (green at sf0.01;
+    any flip would show as a 1-in-the-6th-decimal diff, not a logic bug).
+    """
     parts = [
         f"we AS MATERIALIZED ({_WCOOCCUR_SQL})",
         "nv AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n FROM we)",

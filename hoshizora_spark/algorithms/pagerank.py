@@ -136,14 +136,31 @@ def pagerank(
             joined = salted_join_edges_state(ew, rank_src, "src", hot, num_salts)
         else:
             joined = ew.join(maybe_broadcast(rank_src, V, broadcast_vertices), "src")
-        msgs = joined.groupBy("dst").agg(F.sum(F.col("rank") * F.col("w")).alias("acc"))
-        msgs = maybe_broadcast(msgs, V, broadcast_vertices)
-        return ranks.join(msgs, ranks.vid == msgs.dst, "left").select(
+        # fold the apply join INTO the message aggregation: per-edge
+        # messages union a NULL-message carrier row per vertex, one
+        # groupBy(vid) computes both sum(m) (NULL when no in-message — the
+        # old left-join-miss case) and max(old) (exactly one non-null per
+        # vid). Replaces { agg exchange + broadcast-collect job + apply
+        # join } with ONE agg exchange carrying V extra rows — one fewer
+        # driver job and join per superstep (the BENCH.md f attack), same
+        # message multiset so the fixed point is unchanged.
+        msgs = joined.select(
+            F.col("dst").alias("vid"),
+            (F.col("rank") * F.col("w")).alias("m"),
+            F.lit(None).cast("double").alias("old"),
+        )
+        carrier = ranks.select(
+            "vid", F.lit(None).cast("double").alias("m"), F.col("rank").alias("old")
+        )
+        agg = msgs.unionByName(carrier).groupBy("vid").agg(
+            F.sum("m").alias("acc"), F.max("old").alias("old_rank")
+        )
+        return agg.select(
             "vid",
             (F.lit(DAMPING) * F.coalesce(F.col("acc"), F.lit(0.0)) + F.lit(base)).alias(
                 "new_rank"
             ),
-            F.col("rank").alias("old_rank"),
+            "old_rank",
         )
 
     res = bsp_loop(

@@ -57,7 +57,14 @@ def _oriented(graph: Graph) -> DataFrame:
 
 
 def triangle_triples(graph: Graph) -> DataFrame:
-    """One row per triangle: (x, y, z) the oriented corners (each exactly once)."""
+    """One row per triangle: (x, y, z) the oriented corners (each exactly once).
+
+    ``oriented`` is referenced 3× in one plan, so it is persisted for the
+    build — but only for the build: the triple frame is materialized here
+    (eager localCheckpoint — an RDD the ContextCleaner reclaims once the
+    caller drops it, unlike a CacheManager entry) and the cache released
+    before returning, so no session-lifetime cached frame survives the call.
+    """
     oriented = _oriented(graph).persist()
     wedges = oriented.alias("e1").join(
         oriented.select(F.col("u").alias("v"), F.col("v").alias("w")).alias("e2"), "v"
@@ -66,7 +73,9 @@ def triangle_triples(graph: Graph) -> DataFrame:
     tri = (
         wedges.join(closing, ["u", "w"], "inner")
         .select(F.col("u").alias("x"), F.col("v").alias("y"), F.col("w").alias("z"))
+        .localCheckpoint(eager=True)
     )
+    oriented.unpersist()
     return tri
 
 

@@ -21,10 +21,14 @@ in-block partial fold + a final shuffle agg):
        msgs = kernel.scatter_gather(src_vals, weights),
        per-block partial fold by dst (np.bincount / ufunc.at)
        → (dst, acc) rows, ≤ distinct-dst-per-block of them
-  3. final fold: groupBy(dst).agg(sum|min|max)   [the only big shuffle;
-     partial folding bounds any hot vertex's fan-in at num_blocks rows —
-     built-in skew mitigation, no salting needed on this path]
-  4. apply: state ⋈ acc (broadcast when V is small) → Column expression
+  3. final fold + apply, fused: the block partials union a NULL-acc
+     carrier row per vertex (old state + block ownership riding along),
+     one groupBy(dst).agg(sum|min|max, max(old), max(bid)) folds across
+     blocks AND replaces the old broadcast apply join — the whole
+     superstep is ONE Spark job. [the only big shuffle; partial folding
+     bounds any hot vertex's fan-in at num_blocks rows — built-in skew
+     mitigation, no salting needed on this path]
+  4. apply: a Column expression over (old_val, acc) on the agg output
 
 The per-block partial fold is the distributed replacement for the
 reference's ``forward_indices`` static permutation (graph.h:354-388): the
@@ -41,7 +45,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hoshizora_spark.graph.core import maybe_broadcast
 from hoshizora_spark.graph.csr import CsrBlocks
 
 _COMBINES = {"sum": F.sum, "min": F.min, "max": F.max}
@@ -97,8 +100,11 @@ def _partial_fold(combine: str, msgs_sorted: np.ndarray, starts: np.ndarray) -> 
     raise ValueError(f"unknown combine {combine!r}")
 
 
-def gas_messages(csr: CsrBlocks, state: DataFrame, kernel: VectorKernel) -> DataFrame:
-    """(dst, acc) after the full fold — steps 1-3 above.
+def gas_partial_messages(
+    csr: CsrBlocks, state: DataFrame, kernel: VectorKernel
+) -> DataFrame:
+    """(dst, acc) per block — steps 1-2 above, BEFORE the final cross-block
+    fold (≤ num_blocks rows per distinct dst).
 
     ``state`` must be (vid: long, val: state_type, block_id: int) covering
     every vertex — ``block_id`` is assigned once by ``init_state`` and
@@ -109,7 +115,6 @@ def gas_messages(csr: CsrBlocks, state: DataFrame, kernel: VectorKernel) -> Data
     (graph/csr.py load_block) — the static-adjacency property of the
     reference's execution model.
     """
-    st = state
     path = csr.path
     combine = kernel.combine
     scatter_gather = kernel.scatter_gather
@@ -130,7 +135,14 @@ def gas_messages(csr: CsrBlocks, state: DataFrame, kernel: VectorKernel) -> Data
         acc = _partial_fold(combine, msgs, starts)
         return pd.DataFrame({"dst": uniq_dst, "acc": acc})
 
-    partial = st.groupby("block_id").applyInPandas(run_block, schema="dst long, acc double")
+    return state.groupby("block_id").applyInPandas(
+        run_block, schema="dst long, acc double"
+    )
+
+
+def gas_messages(csr: CsrBlocks, state: DataFrame, kernel: VectorKernel) -> DataFrame:
+    """(dst, acc) after the full fold — steps 1-3 above."""
+    partial = gas_partial_messages(csr, state, kernel)
     agg = _COMBINES[kernel.combine]
     return partial.groupBy("dst").agg(agg("acc").alias("acc"))
 
@@ -315,17 +327,44 @@ def gas_step(
     csr: CsrBlocks,
     state: DataFrame,
     kernel: VectorKernel,
-    broadcast_vertices: int = 200_000,
+    broadcast_vertices: int = 200_000,  # kept for API compat; no longer used
 ) -> DataFrame:
-    """One full superstep: returns (vid, block_id, new_val, old_val)."""
-    acc = gas_messages(csr, state, kernel)
-    acc_b = maybe_broadcast(acc, csr.num_vertices, broadcast_vertices)
-    joined = state.join(acc_b, state.vid == acc_b.dst, "left")
-    return joined.select(
-        "vid",
+    """One full superstep: returns (vid, block_id, new_val, old_val).
+
+    The apply join is folded INTO the final cross-block fold: block
+    partials union a NULL-acc carrier row per vertex (carrying old state +
+    block ownership), and one groupBy(dst) computes the monoid fold
+    (min/max/sum all skip NULLs — acc stays NULL when no message arrived,
+    the old left-join-miss case) plus ``max(old)``/``max(bid)`` (exactly
+    one non-null per vid). A superstep is then ONE Spark job: state
+    exchange → per-block numpy fold → final agg → checkpoint — no
+    broadcast-collect job, no apply join (the BENCH.md ``f + W/cores``
+    fixed-cost attack; the old shape paid an extra driver job per
+    superstep to broadcast the folded acc back into the join).
+    """
+    partial = gas_partial_messages(csr, state, kernel).select(
+        "dst",
+        "acc",
+        F.lit(None).cast(kernel.state_type).alias("old"),
+        F.lit(None).cast("int").alias("bid"),
+    )
+    carrier = state.select(
+        F.col("vid").alias("dst"),
+        F.lit(None).cast("double").alias("acc"),
+        F.col("val").alias("old"),
+        F.col("block_id").alias("bid"),
+    )
+    agg = _COMBINES[kernel.combine]
+    folded = partial.unionByName(carrier).groupBy("dst").agg(
+        agg("acc").alias("acc"),
+        F.max("old").alias("old_val"),
+        F.max("bid").alias("block_id"),
+    )
+    return folded.select(
+        F.col("dst").alias("vid"),
         "block_id",
-        kernel.apply_expr(F.col("vid"), F.col("val"), F.col("acc")).alias("new_val"),
-        F.col("val").alias("old_val"),
+        kernel.apply_expr(F.col("dst"), F.col("old_val"), F.col("acc")).alias("new_val"),
+        F.col("old_val"),
     )
 
 

@@ -46,6 +46,7 @@ def bsp_loop(
     edges_per_iter: int = -1,
     metric_kind: str = "delta",  # 'delta' -> max_abs_delta slot, 'changed' -> changed slot
     fuse: int = 1,
+    loop_conf: dict[str, str] | None = None,
 ) -> LoopResult:
     """Run supersteps until ``done(stat)`` or ``max_iters``.
 
@@ -61,6 +62,16 @@ def bsp_loop(
     * ``stat`` (fallback): a callable issuing its own action AFTER the
       lineage cut — one extra job per superstep; kept for statistics not
       expressible as a single aggregate.
+    * ``loop_conf``: session SQL confs pinned for the duration of the loop
+      and restored after (even on error). The motivating entry is
+      ``spark.sql.adaptive.enabled=false``: AQE re-plans and re-submits
+      stage-by-stage with a driver sync between stages, which is pure
+      fixed cost on a superstep whose plan shape is identical every
+      iteration (the BENCH.md ``f + W/cores`` fit measured ~1.3-2
+      s/superstep of driver cost at 128M edges; AQE replan is one of its
+      largest itemized terms). Loop plans are static and skew-bounded by
+      construction (partial folds cap hot-key fan-in), so losing AQE's
+      runtime re-plan inside the loop costs nothing at any scale.
     * ``fuse`` (EXPERIMENTAL): supersteps per lineage cut / convergence
       check. Same expressions and fold shapes as ``fuse=1``; results agree
       to float-summation reordering (~1e-12 relative — Spark does not pin
@@ -87,6 +98,66 @@ def bsp_loop(
         raise ValueError("bsp_loop needs stat_expr or stat")
     if fuse < 1:
         raise ValueError("bsp_loop: fuse must be >= 1")
+    if fuse > 1 and checkpoint is not None and checkpoint_every <= 1:
+        # chunks never cross a durable-save boundary, so checkpoint_every=1
+        # pins every chunk to a single superstep — fuse silently no-ops.
+        import warnings
+
+        warnings.warn(
+            "bsp_loop: fuse>1 with checkpoint_every<=1 disables fusion entirely"
+            " (every superstep is a save boundary); set checkpoint_every > fuse"
+            " for fusion to engage",
+            stacklevel=2,
+        )
+    saved_conf: dict[str, str | None] = {}
+    for k, v in (loop_conf or {}).items():
+        try:
+            saved_conf[k] = spark.conf.get(k)
+        except Exception:  # unset key
+            saved_conf[k] = None
+        spark.conf.set(k, v)
+    try:
+        return _run_loop(
+            spark,
+            init=init,
+            step=step,
+            stat=stat,
+            stat_expr=stat_expr,
+            done=done,
+            restore=restore,
+            max_iters=max_iters,
+            checkpoint=checkpoint,
+            checkpoint_every=checkpoint_every,
+            resume=resume,
+            edges_per_iter=edges_per_iter,
+            metric_kind=metric_kind,
+            fuse=fuse,
+        )
+    finally:
+        for k, v in saved_conf.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _run_loop(
+    spark: SparkSession,
+    *,
+    init,
+    step,
+    stat,
+    stat_expr,
+    done,
+    restore,
+    max_iters: int,
+    checkpoint: CheckpointManager | None,
+    checkpoint_every: int,
+    resume: bool,
+    edges_per_iter: int,
+    metric_kind: str,
+    fuse: int,
+) -> LoopResult:
     start = 0
     if resume and checkpoint is not None and checkpoint.latest_iter() is not None:
         start = checkpoint.latest_iter() + 1
@@ -138,10 +209,13 @@ def bsp_loop(
         stats.append(s)
         walls.extend([wall / n_sub] * n_sub)
         if checkpoint is not None:
+            # one metrics row per chunk: edges scale with n_sub so
+            # throughput derived from (edges_processed / wall_ms) stays
+            # exact under fusion (wall covers the whole chunk)
             checkpoint.append_metrics(
                 spark,
                 last_it,
-                edges_per_iter,
+                edges_per_iter * n_sub if edges_per_iter > 0 else edges_per_iter,
                 wall,
                 s if metric_kind == "delta" else None,
                 int(s) if metric_kind == "changed" else None,

@@ -254,8 +254,14 @@ def ivf_index(
                 }
             )
 
-    out = u.mapInPandas(assign_final, schema="vec_id long, cell int")
-    u.unpersist()  # cache freed; lazy consumers recompute the unit scan once
+    # materialize assignments BEFORE dropping the unit-vector cache: the
+    # eager localCheckpoint pins the final scan's result (ContextCleaner
+    # reclaims it when the caller drops the frame), so consumers never
+    # recompute the normalization scan against an unpersisted u.
+    out = u.mapInPandas(assign_final, schema="vec_id long, cell int").localCheckpoint(
+        eager=True
+    )
+    u.unpersist()
     return out, [list(c) for c in cents]
 
 

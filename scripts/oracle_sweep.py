@@ -72,9 +72,12 @@ def main() -> None:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failed = []
+    ran = 0  # queries actually executed (CLI `only` filter excluded)
+    rows_only = 0  # executed but rows-only checked (no oracle entry)
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
@@ -84,6 +87,7 @@ def main() -> None:
         sql = oracles.get(name)
         if sql is None:
             print(f"{name}: no_oracle rows={len(sdf)}")
+            rows_only += 1
             continue
         try:
             odf = con.execute(sql).fetchdf()
@@ -115,7 +119,13 @@ def main() -> None:
         )
         if not ok:
             failed.append(name)
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} green" + (f"; FAILED: {failed}" if failed else ""))
+    compared = ran - rows_only
+    print(
+        f"\n{compared - len(failed)}/{compared} value-compared green"
+        + (f" ({rows_only} rows-only)" if rows_only else "")
+        + (f" ({len(qs) - ran} skipped by filter)" if ran < len(qs) else "")
+        + (f"; FAILED: {failed}" if failed else "")
+    )
     sys.exit(1 if failed else 0)
 
 
