@@ -44,6 +44,11 @@ REPEATS = int(os.environ.get("HZ_SCALE_REPEATS", "1"))
 # measured by the f + W/cores fit in BENCH.md — the term that caps local
 # N→4N efficiency once supersteps shrink below a few seconds.
 FUSE = int(os.environ.get("HZ_SCALE_FUSE", "1"))
+# AQE inside the BSP loop ("on"/"off"): AQE re-plans and re-submits
+# stage-by-stage with driver syncs — pure fixed cost on a static-shape
+# superstep (round-4 f attack; BENCH.md).
+AQE = os.environ.get("HZ_SCALE_AQE", "off")
+LOOP_CONF = {"spark.sql.adaptive.enabled": "false"} if AQE == "off" else None
 
 
 def build_input() -> None:
@@ -103,12 +108,12 @@ def run_level(cpus: int) -> dict:
         s = sorted(xs)
         return s[len(s) // 2]
 
-    out: dict = {"cpus": cpus, "fuse": FUSE, **meta}
+    out: dict = {"cpus": cpus, "fuse": FUSE, "aqe": AQE, **meta}
     # DataFrame path: run WARMUP then MEASURE supersteps; report both the
     # total and the median per-superstep (robust to VM noise spikes).
-    res = pagerank(g, tol=None, max_iters=2)  # warmup JVM/codegen
+    res = pagerank(g, tol=None, max_iters=2, loop_conf=LOOP_CONF)  # warmup JVM/codegen
     t0 = time.perf_counter()
-    res = pagerank(g, tol=None, max_iters=MEASURE_DF, fuse=FUSE)
+    res = pagerank(g, tol=None, max_iters=MEASURE_DF, fuse=FUSE, loop_conf=LOOP_CONF)
     df_wall = time.perf_counter() - t0
     med = median(res.wall_ms_per_iter) / 1000.0
     out["df_wall_s"] = round(df_wall, 3)
@@ -117,9 +122,9 @@ def run_level(cpus: int) -> dict:
 
     # CSR path: pre-built sidecar shared by both levels — identical
     # physical layout (32 blocks), only the core count varies.
-    pagerank_csr(g, csr, tol=None, max_iters=WARMUP)
+    pagerank_csr(g, csr, tol=None, max_iters=WARMUP, loop_conf=LOOP_CONF)
     t0 = time.perf_counter()
-    resc = pagerank_csr(g, csr, tol=None, max_iters=MEASURE, fuse=FUSE)
+    resc = pagerank_csr(g, csr, tol=None, max_iters=MEASURE, fuse=FUSE, loop_conf=LOOP_CONF)
     csr_wall = time.perf_counter() - t0
     medc = median(resc.wall_ms_per_iter) / 1000.0
     out["csr_wall_s"] = round(csr_wall, 3)
