@@ -57,17 +57,25 @@ def bfs_distances(
             state.select(F.col("vid").alias("src"), F.col("dist").alias("ds")),
             V, broadcast_vertices,
         )
-        relax = (
+        # relax + apply in ONE groupBy(vid): per-edge candidates (ds + 1)
+        # union a carrier row per vertex whose m is the vertex's OWN dist
+        # — min(m) is exactly least(dist, min_nbr + 1), covering vertices
+        # with no finite in-neighbor. No broadcast-collect job, no apply
+        # join (BENCH.md f attack).
+        msgs = (
             edges.join(st_src, "src")
             .filter(F.col("ds") < _INF)
-            .groupBy("dst")
-            .agg((F.min("ds") + 1).alias("cand"))
+            .select(
+                F.col("dst").alias("vid"),
+                (F.col("ds") + 1).alias("m"),
+                F.lit(None).cast("long").alias("old"),
+            )
         )
-        relax = maybe_broadcast(relax, V, broadcast_vertices)
-        return state.join(relax, state.vid == relax.dst, "left").select(
-            "vid",
-            F.least(F.col("dist"), F.coalesce(F.col("cand"), F.col("dist"))).alias("dist"),
-            F.col("dist").alias("old_dist"),
+        carrier = state.select(
+            "vid", F.col("dist").alias("m"), F.col("dist").alias("old")
+        )
+        return msgs.unionByName(carrier).groupBy("vid").agg(
+            F.min("m").alias("dist"), F.max("old").alias("old_dist")
         )
 
     res = bsp_loop(

@@ -49,18 +49,26 @@ def connected_components(
     sym = sym.repartition(n_part, "src").persist()
 
     def step(labels: DataFrame, it: int) -> DataFrame:
-        # 1. min neighbor label flowing along every (undirected) edge into dst
+        # 1. min neighbor label flowing along every (undirected) edge into
+        #    dst, folded WITH the apply: per-edge label messages union a
+        #    carrier row per vertex whose m is the vertex's OWN label — one
+        #    groupBy(vid).min() is then exactly least(own, min_neighbors),
+        #    covering isolated vertices and replacing the old
+        #    { agg + broadcast-collect job + left join } (one fewer driver
+        #    job per superstep; BENCH.md f attack).
         lbl_src = maybe_broadcast(
             labels.select(F.col("vid").alias("src"), "label"), V, broadcast_vertices
         )
-        nbr_min = sym.join(lbl_src, "src").groupBy("dst").agg(F.min("label").alias("nbr_label"))
-        nbr_min = maybe_broadcast(nbr_min, V, broadcast_vertices)
-        prop = labels.join(nbr_min, labels.vid == nbr_min.dst, "left").select(
-            "vid",
-            F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
-                "plabel"
-            ),
-            F.col("label").alias("old_label"),
+        msgs = sym.join(lbl_src, "src").select(
+            F.col("dst").alias("vid"),
+            F.col("label").alias("m"),
+            F.lit(None).cast("long").alias("old"),
+        )
+        carrier = labels.select(
+            "vid", F.col("label").alias("m"), F.col("label").alias("old")
+        )
+        prop = msgs.unionByName(carrier).groupBy("vid").agg(
+            F.min("m").alias("plabel"), F.max("old").alias("old_label")
         )
         # 2. pointer jumping: label[v] <- label[label[v]]  (apps.h:100-110)
         hop = maybe_broadcast(

@@ -134,10 +134,31 @@ def k_core_hindex(
             F.col("dst").alias("vid"), F.col("hs").alias("c")
         )
         hist = nbr.groupBy("vid", "c").agg(F.count(F.lit(1)).alias("cnt"))
-        entries = hist.groupBy("vid").agg(
-            F.sort_array(F.collect_list(F.struct("c", "cnt")), asc=False).alias("es")
+        # fold the apply join INTO the histogram collapse: histogram rows
+        # union a NULL-entry carrier row per vertex (collect_list skips
+        # NULLs, so the carrier adds no histogram entry), and ONE
+        # groupBy(vid) yields both the sorted entry list and old h. This
+        # removes the apply join AND the state's second plan reference
+        # (the lineage-stats trap class in CLAUDE.md), one fewer driver
+        # job per round. Degree-0 vertices: empty entry list -> fold
+        # yields 0 == their h at init and forever (same as the old
+        # left-join-miss coalesce).
+        entries = (
+            hist.select("vid", F.struct("c", "cnt").alias("e"), F.lit(None).cast("long").alias("old"))
+            .unionByName(
+                state.select(
+                    "vid",
+                    F.lit(None).cast("struct<c:bigint,cnt:bigint>").alias("e"),
+                    F.col("h").alias("old"),
+                )
+            )
+            .groupBy("vid")
+            .agg(
+                F.sort_array(F.collect_list("e"), asc=False).alias("es"),
+                F.max("old").alias("old_h"),
+            )
         )
-        folded = entries.select(
+        return entries.select(
             "vid",
             F.aggregate(
                 "es",
@@ -151,13 +172,8 @@ def k_core_hindex(
                     ).alias("best"),
                 ),
                 lambda acc: acc["best"],
-            ).alias("h_new"),
-        )
-        # degree-0 vertices have no neighbor rows: h stays (0)
-        return state.join(folded, "vid", "left").select(
-            "vid",
-            F.coalesce("h_new", F.col("h")).alias("h"),
-            F.col("h").alias("old_h"),
+            ).alias("h"),
+            "old_h",
         )
 
     from hoshizora_spark.runtime.superstep import bsp_loop

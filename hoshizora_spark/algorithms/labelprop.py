@@ -54,17 +54,29 @@ def label_propagation(
         freq = sym.join(lbl_src, "src").groupBy("dst", "label").agg(
             F.count(F.lit(1)).alias("cnt")
         )
-        # most frequent label, ties -> min label: max over (cnt, -label)
-        best = (
-            freq.groupBy("dst")
-            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg_label"))).alias("top"))
-            .select("dst", (-F.col("top.neg_label")).alias("best_label"))
+        # most frequent label, ties -> min label: max over (cnt, -label) —
+        # with the apply join folded in: frequency rows union a NULL-top
+        # carrier row per vertex (max skips NULLs, so an isolated vertex
+        # folds to NULL top -> keeps its own label), ONE groupBy(vid)
+        # yields both the argmax and the old label. One fewer driver job +
+        # join per round (BENCH.md f attack).
+        cand = freq.select(
+            F.col("dst").alias("vid"),
+            F.struct(F.col("cnt"), (-F.col("label")).alias("neg_label")).alias("top"),
+            F.lit(None).cast("long").alias("old"),
         )
-        best = maybe_broadcast(best, V, broadcast_vertices)
-        return labels.join(best, labels.vid == best.dst, "left").select(
+        carrier = labels.select(
             "vid",
-            F.coalesce(F.col("best_label"), F.col("label")).alias("label"),
-            F.col("label").alias("old_label"),
+            F.lit(None).cast("struct<cnt:bigint,neg_label:bigint>").alias("top"),
+            F.col("label").alias("old"),
+        )
+        agg = cand.unionByName(carrier).groupBy("vid").agg(
+            F.max("top").alias("top"), F.max("old").alias("old_label")
+        )
+        return agg.select(
+            "vid",
+            F.coalesce(-F.col("top.neg_label"), F.col("old_label")).alias("label"),
+            "old_label",
         )
 
     res = bsp_loop(
@@ -127,22 +139,32 @@ def label_propagation_csr(
     kernel = LabelPropKernel()
 
     def step(state: DataFrame, it: int) -> DataFrame:
+        # same union-agg fold as the DF path: the (cnt desc, label asc)
+        # argmax, old label, and block ownership all come out of ONE
+        # groupBy(vid) — no broadcast-collect job, no apply join.
         freq = gas_keyed_counts(csr, state, kernel)
-        best = (
-            freq.groupBy("dst")
-            .agg(
-                F.max(
-                    F.struct(F.col("cnt"), (-F.col("key")).alias("neg_label"))
-                ).alias("top")
-            )
-            .select("dst", (-F.col("top.neg_label")).alias("best_label"))
+        cand = freq.select(
+            F.col("dst").alias("vid"),
+            F.struct(F.col("cnt"), (-F.col("key")).alias("neg_label")).alias("top"),
+            F.lit(None).cast("long").alias("old"),
+            F.lit(None).cast("int").alias("bid"),
         )
-        best = maybe_broadcast(best, V, broadcast_vertices)
-        return state.join(best, state.vid == best.dst, "left").select(
+        carrier = state.select(
+            "vid",
+            F.lit(None).cast("struct<cnt:bigint,neg_label:bigint>").alias("top"),
+            F.col("val").alias("old"),
+            F.col("block_id").alias("bid"),
+        )
+        agg = cand.unionByName(carrier).groupBy("vid").agg(
+            F.max("top").alias("top"),
+            F.max("old").alias("old_val"),
+            F.max("bid").alias("block_id"),
+        )
+        return agg.select(
             "vid",
             "block_id",
-            F.coalesce(F.col("best_label"), F.col("val")).alias("val"),
-            F.col("val").alias("old_val"),
+            F.coalesce(-F.col("top.neg_label"), F.col("old_val")).alias("val"),
+            "old_val",
         )
 
     res = bsp_loop(

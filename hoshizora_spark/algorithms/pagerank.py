@@ -86,8 +86,13 @@ def pagerank(
     num_salts: int = 16,
     weight_col: str | None = None,
     fuse: int = 1,
+    loop_conf: dict[str, str] | None = None,
 ) -> PageRankResult:
     """Pure-DataFrame path.
+
+    ``loop_conf``: session SQL confs pinned for the loop, restored after
+    (see ``bsp_loop``); ``{"spark.sql.adaptive.enabled": "false"}`` cuts
+    AQE's per-stage driver replanning from every superstep.
 
     ``fuse`` (experimental): supersteps per lineage cut / convergence
     check (see ``bsp_loop``). Same fixed point modulo float-sum reorder
@@ -177,6 +182,7 @@ def pagerank(
         edges_per_iter=num_msg_edges,
         metric_kind="delta",
         fuse=fuse,
+        loop_conf=loop_conf,
     )
     ew.unpersist()
     if hot is not None:
@@ -220,6 +226,7 @@ def pagerank_csr(
     resume: bool = False,
     weight_col: str | None = None,
     fuse: int = 1,
+    loop_conf: dict[str, str] | None = None,
 ) -> PageRankResult:
     """CSR-block GAS path — same fixed point, hoshizora-style execution.
 
@@ -252,6 +259,7 @@ def pagerank_csr(
         edges_per_iter=csr.num_edges,
         metric_kind="delta",
         fuse=fuse,
+        loop_conf=loop_conf,
     )
     if own_csr:
         csr.unpersist()
@@ -303,20 +311,28 @@ def personalized_pagerank(
     ew = ew.repartition(sized_partitions(spark, num_msg_edges), "src").persist()
 
     def step(ranks: DataFrame, it: int) -> DataFrame:
+        # same union-agg superstep as `pagerank` (one agg, no apply join);
+        # only the teleport term differs — it is a function of vid, so it
+        # applies cleanly on the agg output.
         rank_src = maybe_broadcast(
             ranks.select(F.col("vid").alias("src"), "rank"), V, broadcast_vertices
         )
-        msgs = (
-            ew.join(rank_src, "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("w")).alias("acc"))
+        msgs = ew.join(rank_src, "src").select(
+            F.col("dst").alias("vid"),
+            (F.col("rank") * F.col("w")).alias("m"),
+            F.lit(None).cast("double").alias("old"),
         )
-        msgs = maybe_broadcast(msgs, V, broadcast_vertices)
+        carrier = ranks.select(
+            "vid", F.lit(None).cast("double").alias("m"), F.col("rank").alias("old")
+        )
+        agg = msgs.unionByName(carrier).groupBy("vid").agg(
+            F.sum("m").alias("acc"), F.max("old").alias("old_rank")
+        )
         jump = F.when(is_source, F.lit(base)).otherwise(F.lit(0.0))
-        return ranks.join(msgs, ranks.vid == msgs.dst, "left").select(
+        return agg.select(
             "vid",
             (F.lit(DAMPING) * F.coalesce(F.col("acc"), F.lit(0.0)) + jump).alias("new_rank"),
-            F.col("rank").alias("old_rank"),
+            "old_rank",
         )
 
     res = bsp_loop(

@@ -60,10 +60,16 @@ def maybe_broadcast(df: DataFrame, num_rows: int, threshold: int) -> DataFrame:
     Per-superstep joins of a V-row state table against an E-row edge table
     should broadcast the state side whenever V is cluster-broadcastable —
     the persisted, pre-partitioned edge side then never re-shuffles. At
-    link-graph scale (V ~ 10^12) the hint is skipped and Catalyst uses a
-    shuffle-hash join on the co-partitioned key instead.
+    link-graph scale (V ~ 10^12) the state side is instead hinted
+    ``shuffle_hash``: the state exchanges (executor-side, no driver
+    collect job) and builds the hash side, while the persisted edge side
+    streams. Without the hint Catalyst prefers sort-merge
+    (``spark.sql.join.preferSortMergeJoin``), which would RE-SORT the
+    E-row side every superstep — the state side is always the small side
+    of these joins, so the hash build is safe at any V that fits a
+    partition (and AQE skew-split still applies on the streamed side).
     """
-    return F.broadcast(df) if num_rows <= threshold else df
+    return F.broadcast(df) if num_rows <= threshold else df.hint("shuffle_hash")
 
 
 @dataclass(frozen=True)

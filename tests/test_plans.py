@@ -132,6 +132,78 @@ def test_ivf_assignment_plan_independent_of_centroid_count(spark, sf_dir):
     a4, _ = similarity.ivf_index(emb, n_centroids=4, iters=1)
     a16, _ = similarity.ivf_index(emb, n_centroids=16, iters=1)
     p4, p16 = _plan(a4), _plan(a16)
-    assert "MapInPandas" in p16
+    # since r4 the assignment frame is materialized inside ivf_index (an
+    # eager localCheckpoint, so the unit-vector cache can be released
+    # safely) — the returned plan is a checkpointed-RDD scan; either way
+    # it must never embed k·d literals, so its size stays flat in k
+    assert "ExistingRDD" in p16 or "MapInPandas" in p16
+    assert "BatchEvalPython" not in p16
     # literal-embedding plans grow ~4× here; broadcast plans stay put
     assert len(p16) < 1.2 * len(p4)
+
+
+def test_block_routing_plan_independent_of_block_count(spark):
+    """Routing must not embed num_blocks literals in the plan above the
+    literal ceiling (the 10^12-edge sizing puts ~250k blocks in play —
+    a quarter-million-literal Catalyst expression per row is the same
+    trap class as the r2 IVF centroid literals)."""
+    import numpy as np
+
+    from hoshizora_spark.graph.csr import (
+        _LITERAL_ROUTE_MAX,
+        block_id_expr,
+        local_block_id,
+    )
+
+    df = spark.range(500).select(F.col("id").alias("vid"))
+    small = [0, 100, 250, 400, 500]  # 3 interior -> literal fold
+    big = list(range(0, 10_001))  # 9,999 interior -> searchsorted UDF
+    assert len(big) - 2 > _LITERAL_ROUTE_MAX
+    p_small = _plan(df.select(block_id_expr(small, F.col("vid")).alias("b")))
+    p_big = _plan(df.select(block_id_expr(big, F.col("vid")).alias("b")))
+    assert "ArrowEvalPython" in p_big  # vectorized, not BatchEvalPython
+    assert "BatchEvalPython" not in p_big
+    # literal plans grow with bounds; the UDF plan must stay flat
+    assert len(p_big) < max(2_000, 1.2 * len(p_small))
+
+    # both physical forms agree with the numpy reference on every vid
+    got_small = [
+        r["b"] for r in df.select(block_id_expr(small, F.col("vid")).alias("b"))
+        .orderBy("vid").collect()
+    ]
+    vids = np.arange(500)
+    assert got_small == local_block_id(small, vids).tolist()
+    got_big = [
+        r["b"] for r in df.select(block_id_expr(big, F.col("vid")).alias("b"))
+        .orderBy("vid").collect()
+    ]
+    assert got_big == local_block_id(big, vids).tolist()
+
+
+def test_many_block_build_routes_and_folds_correctly(spark):
+    """Build smoke test above the literal-routing ceiling: a forced
+    600-block CSR build (UDF routing in the build exchange) must produce
+    the same PageRank messages as the DataFrame path."""
+    from hoshizora_spark.algorithms.pagerank import PageRankKernel
+    from hoshizora_spark.graph.csr import _LITERAL_ROUTE_MAX, build_csr_blocks
+    from hoshizora_spark.runtime.gas import gas_messages, init_state
+
+    num_blocks = _LITERAL_ROUTE_MAX + 88  # 600: UDF regime, bounded test cost
+    edges = spark.range(6_000).select(
+        (F.col("id") % 1_200).alias("src"),
+        F.pmod(F.xxhash64("id"), F.lit(1_200)).alias("dst"),
+    )
+    g = Graph.from_edges(edges)
+    csr = build_csr_blocks(g, num_blocks=num_blocks)
+    assert csr.num_blocks > _LITERAL_ROUTE_MAX / 2  # quantile dedup may trim
+    kernel = PageRankKernel(g.num_vertices)
+    got = {
+        (r["dst"], round(r["acc"], 9))
+        for r in gas_messages(csr, init_state(spark, csr, kernel), kernel).collect()
+    }
+    ew = _weighted_edges(g)
+    want = {
+        (r["dst"], round(r["acc"], 9))
+        for r in ew.groupBy("dst").agg(F.sum("w").alias("acc")).collect()
+    }
+    assert got == want
