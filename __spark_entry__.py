@@ -156,6 +156,17 @@ def q_personalized_pagerank_fixed30(spark: SparkSession, sf_dir: str) -> DataFra
     return res.ranks.select("vid", F.round("rank", 6).alias("rank"))
 
 
+def q_personalized_pagerank_csr_fixed30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Teleport-set PageRank through the CSR GAS path — the seed init and
+    jump term ride the fused apply expression (one-job superstep); gated by
+    the same chained-CTE oracle as the DF path."""
+    from hoshizora_spark import personalized_pagerank_csr
+
+    g = _graph_cooccur(spark, sf_dir)
+    res = personalized_pagerank_csr(g, sources=[1, 2, 3], tol=None, max_iters=PR_ITERS)
+    return res.ranks.select("vid", F.round("rank", 6).alias("rank"))
+
+
 def q_label_propagation_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sync LPA, 10 rounds — matched round-for-round by a chained-CTE
     oracle (early fixpoint exit is safe: the operator is stationary there)."""
@@ -508,6 +519,26 @@ def q_kcore_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core_hindex(g).coreness.join(present, "vid").select("vid", "coreness")
 
 
+def q_kcore_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same h-index coreness through the keyed CSR fold (per-block (dst, h)
+    run-length counts over Arrow + the shared _hindex_agg) — bit-identical
+    to the DF path (test_kcore_csr_bitmatches_df_path), so the same
+    chained-CTE oracle gates it."""
+    from hoshizora_spark import Graph
+    from hoshizora_spark.algorithms.kcore import k_core_hindex_csr
+
+    edges = _edges_cooccur(spark, sf_dir).filter(
+        (F.col("src") < 200) & (F.col("dst") < 200)
+    )
+    g = Graph.from_edges(edges)
+    present = (
+        edges.select(F.col("src").alias("vid"))
+        .union(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    return k_core_hindex_csr(g).coreness.join(present, "vid").select("vid", "coreness")
+
+
 def q_clustering_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Louvain-style clustering with coarsening (rows-only: iterative).
 
@@ -549,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup": q_cosine_near_dup,
         "degree_histogram": q_degree_histogram,
         "kcore_small": q_kcore_small,
+        "kcore_csr": q_kcore_csr,
         "clustering_modularity": q_clustering_modularity,
         "edge_extract_bipartite": q_edge_extract_bipartite,
         "edge_extract_cooccur": q_edge_extract_cooccur,
@@ -562,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted_fixed30": q_pagerank_weighted_fixed30,
         "pagerank_weighted_csr_fixed30": q_pagerank_weighted_csr_fixed30,
         "personalized_pagerank_fixed30": q_personalized_pagerank_fixed30,
+        "personalized_pagerank_csr_fixed30": q_personalized_pagerank_csr_fixed30,
         "label_propagation_small": q_label_propagation_small,
         "label_propagation_csr": q_label_propagation_csr,
         "bfs_distances_csr_small": q_bfs_distances_csr_small,
@@ -1158,9 +1191,11 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_weighted_fixed30": _pagerank_weighted_fixed_sql(PR_ITERS),
         "pagerank_weighted_csr_fixed30": _pagerank_weighted_fixed_sql(PR_ITERS),
         "personalized_pagerank_fixed30": _pagerank_fixed_sql(PR_ITERS, seeds=[1, 2, 3]),
+        "personalized_pagerank_csr_fixed30": _pagerank_fixed_sql(PR_ITERS, seeds=[1, 2, 3]),
         "label_propagation_small": _lpa_fixed_sql(10),
         "label_propagation_csr": _lpa_fixed_sql(10),
         "kcore_small": _kcore_hindex_sql(KCORE_ORACLE_ROUNDS),
+        "kcore_csr": _kcore_hindex_sql(KCORE_ORACLE_ROUNDS),
         "bfs_distances_small": _bfs_fixed_sql(),
         "bfs_distances_csr_small": _bfs_fixed_sql(),
         "clustering_modularity": _clustering_fixed_sql(),

@@ -14,6 +14,7 @@ from hoshizora_spark.algorithms.pagerank import (
     pagerank,
     pagerank_csr,
     personalized_pagerank,
+    personalized_pagerank_csr,
     top_k,
 )
 from hoshizora_spark.algorithms.bfs import bfs_distances, bfs_distances_csr
@@ -22,7 +23,7 @@ from hoshizora_spark.algorithms.components import (
     connected_components,
     connected_components_csr,
 )
-from hoshizora_spark.algorithms.kcore import k_core, k_core_hindex
+from hoshizora_spark.algorithms.kcore import k_core, k_core_hindex, k_core_hindex_csr
 from hoshizora_spark.algorithms.labelprop import label_propagation, label_propagation_csr
 from hoshizora_spark.algorithms.triangles import triangle_counts, triangle_total
 from hoshizora_spark import multimodal, similarity, text
@@ -43,10 +44,12 @@ __all__ = [
     "pagerank",
     "pagerank_csr",
     "personalized_pagerank",
+    "personalized_pagerank_csr",
     "top_k",
     "clustering",
     "k_core",
     "k_core_hindex",
+    "k_core_hindex_csr",
     "multimodal",
     "connected_components",
     "connected_components_csr",

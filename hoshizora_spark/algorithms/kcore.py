@@ -24,10 +24,28 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hoshizora_spark.graph.core import Graph, maybe_broadcast, sized_partitions, symmetrize
+
+
+def _hindex_agg(es) -> Column:
+    """H-index over a (c desc, cnt)-sorted entry list: the max k with
+    ≥ k entries of value ≥ k — cum += cnt; best = max(best, min(c, cum)).
+    One O(distinct values) array fold, shared verbatim by the DF and CSR
+    paths so their h values are identical by construction."""
+    return F.aggregate(
+        es,
+        F.struct(
+            F.lit(0).cast("long").alias("cum"), F.lit(0).cast("long").alias("best")
+        ),
+        lambda acc, e: F.struct(
+            (acc["cum"] + e["cnt"]).alias("cum"),
+            F.greatest(acc["best"], F.least(e["c"], acc["cum"] + e["cnt"])).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
 
 
 @dataclass
@@ -158,23 +176,7 @@ def k_core_hindex(
                 F.max("old").alias("old_h"),
             )
         )
-        return entries.select(
-            "vid",
-            F.aggregate(
-                "es",
-                F.struct(
-                    F.lit(0).cast("long").alias("cum"), F.lit(0).cast("long").alias("best")
-                ),
-                lambda acc, e: F.struct(
-                    (acc["cum"] + e["cnt"]).alias("cum"),
-                    F.greatest(
-                        acc["best"], F.least(e["c"], acc["cum"] + e["cnt"])
-                    ).alias("best"),
-                ),
-                lambda acc: acc["best"],
-            ).alias("h"),
-            "old_h",
-        )
+        return entries.select("vid", _hindex_agg("es").alias("h"), "old_h")
 
     from hoshizora_spark.runtime.superstep import bsp_loop
 
@@ -191,6 +193,101 @@ def k_core_hindex(
     )
     sym.unpersist()
     coreness = res.state.select("vid", F.col("h").cast("long").alias("coreness"))
+    mx = coreness.agg(F.max("coreness")).first()[0]
+    return KCoreResult(
+        coreness=coreness,
+        max_core=int(mx or 0),
+        rounds=res.iterations,
+        wall_ms_per_round=res.wall_ms,
+        changed_per_round=[int(c) for c in res.stats],
+    )
+
+
+class HIndexKernel:
+    """Keyed GAS form of the h-index superstep (runtime/gas.py
+    KeyedVectorKernel): state = current h (long); per-edge key = the
+    gathered src h; the fold counts h values per dst — exactly the
+    (dst, c) histogram the DF path builds with groupBy(vid, c)."""
+
+    state_type = "long"
+
+    def init_expr(self, vid):  # unused: h0 = degree, joined in init()
+        return F.lit(0)
+
+    def scatter_key(self, src_vals):
+        return src_vals  # identity: the message IS the h value
+
+
+def k_core_hindex_csr(graph: Graph, max_rounds: int = 200) -> KCoreResult:
+    """Coreness via h-index iteration on the CSR fast path — h values
+    identical to ``k_core_hindex``, round-for-round.
+
+    The symmetrized simple graph is built into CSR blocks once; each round
+    runs the keyed gather-scatter (per-block (dst, h) run-length counts
+    through Arrow) + a (dst, h) hash agg, then the SAME ``_hindex_agg``
+    fold with the apply folded in (NULL-entry carrier row per vertex
+    carries old h + block ownership; collect_list skips NULLs, so
+    degree-0 vertices fold to 0 == their init h). One Spark job per round;
+    a hot vertex's fan-in is bounded at num_blocks × distinct h values —
+    O(√E) on power-law graphs — the same built-in skew bound as the other
+    CSR folds."""
+    from hoshizora_spark.graph.csr import build_csr_blocks
+    from hoshizora_spark.runtime.gas import gas_keyed_counts
+    from hoshizora_spark.runtime.superstep import bsp_loop
+
+    spark = graph.spark
+    V = graph.num_vertices
+    sym_graph = Graph(edges=symmetrize(graph.edges), num_vertices=V)
+    csr = build_csr_blocks(sym_graph)
+    kernel = HIndexKernel()
+
+    deg = sym_graph.edges.groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).alias("h")
+    )
+
+    def init() -> DataFrame:
+        return graph.vertices().join(deg, "vid", "left").select(
+            "vid",
+            F.coalesce("h", F.lit(0)).cast("long").alias("val"),
+            csr.block_id_of(F.col("vid")).alias("block_id"),
+        )
+
+    def step(state: DataFrame, it: int) -> DataFrame:
+        hist = gas_keyed_counts(csr, state, kernel)  # (dst, key=c, cnt)
+        entries = hist.select(
+            F.col("dst").alias("vid"),
+            F.struct(F.col("key").alias("c"), F.col("cnt")).alias("e"),
+            F.lit(None).cast("long").alias("old"),
+            F.lit(None).cast("int").alias("bid"),
+        )
+        carrier = state.select(
+            "vid",
+            F.lit(None).cast("struct<c:bigint,cnt:bigint>").alias("e"),
+            F.col("val").alias("old"),
+            F.col("block_id").alias("bid"),
+        )
+        agg = entries.unionByName(carrier).groupBy("vid").agg(
+            F.sort_array(F.collect_list("e"), asc=False).alias("es"),
+            F.max("old").alias("old_val"),
+            F.max("bid").alias("block_id"),
+        )
+        return agg.select(
+            "vid", "block_id", _hindex_agg("es").alias("val"), "old_val"
+        )
+
+    res = bsp_loop(
+        spark,
+        init=init,
+        step=step,
+        stat_expr=F.sum((F.col("val") != F.col("old_val")).cast("long")),
+        done=lambda changed: changed == 0,
+        restore=lambda df: df.select("vid", "val", "block_id"),
+        max_iters=max_rounds,
+        edges_per_iter=csr.num_edges,
+        metric_kind="changed",
+    )
+    csr.unpersist()
+    coreness = res.state.select("vid", F.col("val").cast("long").alias("coreness"))
     mx = coreness.agg(F.max("coreness")).first()[0]
     return KCoreResult(
         coreness=coreness,

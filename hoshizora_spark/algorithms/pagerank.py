@@ -359,6 +359,85 @@ def personalized_pagerank(
     )
 
 
+class PersonalizedPageRankKernel(PageRankKernel):
+    """Teleport-set GAS kernel: both personalization hooks (seed init, seed
+    jump term) are pure Column-of-vid expressions, so they slot into the
+    VectorKernel protocol unchanged. Seeds are embedded as an ``isin``
+    literal list — fine for the typical "related to this seed set" query
+    (tens..thousands of seeds); capped well before the literal-expression
+    plan-blowup regime (the IVF-centroid / block-routing trap class)."""
+
+    MAX_SEEDS = 10_000
+
+    def __init__(self, sources: list[int], num_vertices: int) -> None:
+        self.base = JUMP / len(sources)
+        self.src_set = sources
+
+    def init_expr(self, vid):
+        return F.when(vid.isin(self.src_set), F.lit(1.0)).otherwise(F.lit(0.0))
+
+    def apply_expr(self, vid, prev, acc):
+        jump = F.when(vid.isin(self.src_set), F.lit(self.base)).otherwise(F.lit(0.0))
+        return F.lit(DAMPING) * F.coalesce(acc, F.lit(0.0)) + jump
+
+
+def personalized_pagerank_csr(
+    graph: Graph,
+    sources: list[int],
+    csr: CsrBlocks | None = None,
+    tol: float | None = 1e-6,
+    max_iters: int = 200,
+) -> PageRankResult:
+    """Teleport-set PageRank on the CSR fast path — same fixed point as
+    ``personalized_pagerank``, same one-job superstep as ``pagerank_csr``
+    (the teleport term is applied in the fused apply expression on the agg
+    output). Seed sets larger than ``PersonalizedPageRankKernel.MAX_SEEDS``
+    should use the DataFrame path, whose teleport term can join a seed
+    frame instead of embedding literals."""
+    spark = graph.spark
+    V = graph.num_vertices
+    if V == 0 or not sources:
+        return PageRankResult(ranks=graph.vertices().withColumn("rank", F.lit(0.0)),
+                              iterations=0, converged=True)
+    src_set = sorted({int(s) for s in sources})
+    bad = [s for s in src_set if s < 0 or s >= V]
+    if bad:
+        raise ValueError(
+            f"personalized_pagerank_csr sources outside vertex domain 0..{V - 1}: {bad}"
+        )
+    if len(src_set) > PersonalizedPageRankKernel.MAX_SEEDS:
+        raise ValueError(
+            f"{len(src_set)} seeds would embed as plan literals; use "
+            "personalized_pagerank (DataFrame path) for large seed sets"
+        )
+    own_csr = csr is None
+    if csr is None:
+        csr = build_csr_blocks(graph)
+    kernel = PersonalizedPageRankKernel(src_set, V)
+
+    res = bsp_loop(
+        spark,
+        init=lambda: init_state(spark, csr, kernel),
+        step=lambda state, it: gas_step(csr, state, kernel),
+        stat_expr=F.max(F.abs(F.col("new_val") - F.col("old_val"))),
+        done=lambda d: tol is not None and d <= tol,
+        restore=lambda df: df.select("vid", F.col("new_val").alias("val"), "block_id"),
+        max_iters=max_iters,
+        edges_per_iter=csr.num_edges,
+        metric_kind="delta",
+    )
+    if own_csr:
+        csr.unpersist()
+    return PageRankResult(
+        ranks=res.state.select("vid", F.col("val").alias("rank")),
+        iterations=res.iterations,
+        converged=res.converged,
+        deltas=res.stats,
+        edges_processed_per_iter=csr.num_edges,
+        wall_ms_per_iter=res.wall_ms,
+    )
+
+
 def top_k(ranks: DataFrame, k: int = 10) -> DataFrame:
     """Top-k vertices by rank, deterministic order (rank desc, vid asc).
 

@@ -44,10 +44,11 @@ REPEATS = int(os.environ.get("HZ_SCALE_REPEATS", "1"))
 # measured by the f + W/cores fit in BENCH.md — the term that caps local
 # N→4N efficiency once supersteps shrink below a few seconds.
 FUSE = int(os.environ.get("HZ_SCALE_FUSE", "1"))
-# AQE inside the BSP loop ("on"/"off"): AQE re-plans and re-submits
-# stage-by-stage with driver syncs — pure fixed cost on a static-shape
-# superstep (round-4 f attack; BENCH.md).
-AQE = os.environ.get("HZ_SCALE_AQE", "off")
+# AQE inside the BSP loop ("on"/"off"). Default ON: the round-4 A/B
+# (BENCH.md) REFUTED the AQE-off hypothesis — AQE-on won all 8 paired
+# comparisons at V=200k/E=128M (it coalesces the partial-fold exchange to
+# the right reduce width); "off" kept only for cluster-specific pinning.
+AQE = os.environ.get("HZ_SCALE_AQE", "on")
 LOOP_CONF = {"spark.sql.adaptive.enabled": "false"} if AQE == "off" else None
 
 

@@ -167,3 +167,25 @@ def test_clustering_entry_query_equal_through_both_paths(spark, sf_dir, monkeypa
     monkeypatch.setenv("HZ_CLUSTERING_CSR", "1")
     csr_rows = {(r["vid"], r["cluster"]) for r in q(spark, sf_dir).collect()}
     assert df_rows == csr_rows
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["g1_chain", "g2_cycle", "g3_star", "g4_two_triangles_bridge",
+     "g5_multi_dup_isolated", "g6_powerlaw", "g7_bipartite"],
+)
+def test_kcore_csr_bitmatches_df_path(spark, name):
+    """The h-index iteration through the keyed CSR fold must reproduce the
+    DF path's coreness exactly, round-for-round: same (dst, h) histogram
+    counts, same shared _hindex_agg fold, same convergence round."""
+    from hoshizora_spark import k_core_hindex
+    from hoshizora_spark.algorithms.kcore import k_core_hindex_csr
+
+    g = _graph(spark, name)
+    df_res = k_core_hindex(g)
+    csr_res = k_core_hindex_csr(g)
+    df_rows = {r["vid"]: r["coreness"] for r in df_res.coreness.collect()}
+    csr_rows = {r["vid"]: r["coreness"] for r in csr_res.coreness.collect()}
+    assert df_rows == csr_rows, f"{name}: CSR coreness diverges from DF"
+    assert df_res.rounds == csr_res.rounds
+    assert df_res.max_core == csr_res.max_core
