@@ -201,6 +201,19 @@ def _edges_cooccur_w(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_smoothed_pagerank_fixed20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EDGE BSP state (the reference kernel's gather ``prev_val`` hook,
+    kernel.h:17-18) under the value-hash oracle: 20 supersteps of
+    exponentially smoothed per-edge messages (beta=0.5), rank read at the
+    end. The loop state is E rows, not V rows — the documented pattern for
+    kernels that need the previous superstep's edge value."""
+    from hoshizora_spark import smoothed_pagerank
+
+    g = _graph_cooccur(spark, sf_dir)
+    res = smoothed_pagerank(g, beta=0.5, tol=None, max_iters=20)
+    return res.ranks.select("vid", F.round("rank", 6).alias("rank"))
+
+
 def q_pagerank_csr_fixed30(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CSR-block GAS engine itself under the value-hash oracle: same
     fixed-30 PageRank, executed through per-block numpy gather + partial
@@ -590,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_total_bipartite": q_triangle_total_bipartite,
         "connected_components_small": q_connected_components_small,
         "pagerank_fixed30": q_pagerank_fixed30,
+        "smoothed_pagerank_fixed20": q_smoothed_pagerank_fixed20,
         "pagerank_csr_fixed30": q_pagerank_csr_fixed30,
         "pagerank_weighted_fixed30": q_pagerank_weighted_fixed30,
         "pagerank_weighted_csr_fixed30": q_pagerank_weighted_csr_fixed30,
@@ -735,6 +749,42 @@ def _pagerank_fixed_sql(iters: int, seeds: list[int] | None = None) -> str:
         )
     return (
         "WITH " + ",\n".join(parts) + f"\nSELECT vid, round(r, 6) AS rank FROM pr{iters}"
+    )
+
+
+def _smoothed_pagerank_fixed_sql(iters: int, beta: float = 0.5) -> str:
+    """Edge-state smoothed-message PageRank, unrolled: per superstep one
+    rank fold r_{i-1} = 0.85·Σ_in m_{i-1} + 0.15/N and one per-edge update
+    m_i = (1-beta)·m_{i-1} + beta·r_{i-1}·w, rank read from m_iters at the
+    end. Float-op order mirrors the Spark expressions exactly
+    ((1-beta)*m first, then (beta*r)*w; w = 1/out_deg precomputed once)."""
+    parts = [
+        f"e AS MATERIALIZED ({_COOCCUR_SQL})",
+        "nv AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n FROM e)",
+        "verts AS MATERIALIZED (SELECT unnest(generate_series(0, (SELECT n - 1 FROM nv))) AS vid)",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS d FROM e GROUP BY src)",
+        # cooccur edges are DISTINCT pairs, so Spark's w = mult/out_deg is 1/d
+        "we AS MATERIALIZED (SELECT e.src, e.dst, 1 / d.d AS w FROM e JOIN deg d ON d.src = e.src)",
+        "m0 AS MATERIALIZED (SELECT src, dst, w, w AS m FROM we)",
+    ]
+    rank_of = (
+        "SELECT v.vid, 0.85 * coalesce(mm.acc, 0) + 0.15 / (SELECT n FROM nv) AS r\n"
+        "              FROM verts v LEFT JOIN (\n"
+        "                SELECT dst AS vid, sum(m) AS acc FROM m{src} GROUP BY dst\n"
+        "              ) mm ON mm.vid = v.vid"
+    )
+    for i in range(1, iters + 1):
+        parts.append(f"r{i - 1} AS MATERIALIZED ({rank_of.format(src=i - 1)})")
+        parts.append(
+            f"""m{i} AS MATERIALIZED (
+              SELECT m.src, m.dst, m.w, {1.0 - beta} * m.m + {beta} * r.r * m.w AS m
+              FROM m{i - 1} m JOIN r{i - 1} r ON r.vid = m.src
+            )"""
+        )
+    final = rank_of.format(src=iters)
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT vid, round(r, 6) AS rank FROM ({final})"
     )
 
 
@@ -1184,6 +1234,7 @@ def oracle_sql() -> dict[str, str]:
         # construction; the exact SQL checks assignment+probe+re-rank.
         "ivf_topk": _COSINE_TOPK_SQL,
         "pagerank_fixed30": _pagerank_fixed_sql(PR_ITERS),
+        "smoothed_pagerank_fixed20": _smoothed_pagerank_fixed_sql(20),
         # CSR engine paths share the DF oracles — same fixed point, same
         # rounding; bit-level path equivalence is additionally asserted in
         # tests/test_csr_gas.py

@@ -18,6 +18,7 @@ from hoshizora_spark.algorithms.pagerank import (
     top_k,
 )
 from hoshizora_spark.algorithms.bfs import bfs_distances, bfs_distances_csr
+from hoshizora_spark.algorithms.edge_state import smoothed_pagerank
 from hoshizora_spark.algorithms.clustering import clustering
 from hoshizora_spark.algorithms.components import (
     connected_components,
@@ -45,6 +46,7 @@ __all__ = [
     "pagerank_csr",
     "personalized_pagerank",
     "personalized_pagerank_csr",
+    "smoothed_pagerank",
     "top_k",
     "clustering",
     "k_core",
