@@ -123,8 +123,23 @@ def pagerank(
     num_msg_edges = ew.count()  # distinct (src,dst) pairs carried per superstep
     # Persist the static side once; every superstep reuses it. On a cluster this
     # is the analogue of the reference's one-time CSR build (core/graph.h:439-547).
+    # Layout matters: every superstep re-scans this cache, so (a) vertex ids
+    # compact to int32 when the domain fits (the in-memory columnar cache and
+    # the join/agg rows then carry 4-byte keys — at 10^12-edge scale ids stay
+    # long and the cast is skipped), and (b) rows sort by src within each
+    # partition so the columnar cache's delta/RLE codecs compress the src run
+    # (~40% less scan volume per superstep at 128M edges; the memory-bus term
+    # is what caps single-box N→4N scaling, BENCH.md f + W/cores fit).
+    compact = V - 1 <= 2**31 - 1
+    if compact:
+        ew = ew.select(
+            F.col("src").cast("int").alias("src"),
+            F.col("dst").cast("int").alias("dst"),
+            "w",
+        )
     n_part = sized_partitions(spark, num_msg_edges)
-    ew = ew.repartition(n_part, "src").persist()
+    ew = ew.repartition(n_part, "src").sortWithinPartitions("src").persist()
+    key_type = "int" if compact else "long"
 
     hot = None
     if salt_hot_degree is not None and V > broadcast_vertices:
@@ -134,7 +149,7 @@ def pagerank(
         hot.count()
 
     def step(ranks: DataFrame, it: int) -> DataFrame:
-        rank_src = ranks.select(F.col("vid").alias("src"), "rank")
+        rank_src = ranks.select(F.col("vid").cast(key_type).alias("src"), "rank")
         if hot is not None:
             from hoshizora_spark.runtime.skew import salted_join_edges_state
 
@@ -150,7 +165,7 @@ def pagerank(
         # driver job and join per superstep (the BENCH.md f attack), same
         # message multiset so the fixed point is unchanged.
         msgs = joined.select(
-            F.col("dst").alias("vid"),
+            F.col("dst").cast("long").alias("vid"),  # back to the domain type
             (F.col("rank") * F.col("w")).alias("m"),
             F.lit(None).cast("double").alias("old"),
         )
@@ -308,17 +323,32 @@ def personalized_pagerank(
 
     ew = _weighted_edges(graph)
     num_msg_edges = ew.count()
-    ew = ew.repartition(sized_partitions(spark, num_msg_edges), "src").persist()
+    # same int-compact + src-sort cache layout as `pagerank` (see there)
+    compact = V - 1 <= 2**31 - 1
+    if compact:
+        ew = ew.select(
+            F.col("src").cast("int").alias("src"),
+            F.col("dst").cast("int").alias("dst"),
+            "w",
+        )
+    key_type = "int" if compact else "long"
+    ew = (
+        ew.repartition(sized_partitions(spark, num_msg_edges), "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
 
     def step(ranks: DataFrame, it: int) -> DataFrame:
         # same union-agg superstep as `pagerank` (one agg, no apply join);
         # only the teleport term differs — it is a function of vid, so it
         # applies cleanly on the agg output.
         rank_src = maybe_broadcast(
-            ranks.select(F.col("vid").alias("src"), "rank"), V, broadcast_vertices
+            ranks.select(F.col("vid").cast(key_type).alias("src"), "rank"),
+            V,
+            broadcast_vertices,
         )
         msgs = ew.join(rank_src, "src").select(
-            F.col("dst").alias("vid"),
+            F.col("dst").cast("long").alias("vid"),
             (F.col("rank") * F.col("w")).alias("m"),
             F.lit(None).cast("double").alias("old"),
         )
