@@ -19,7 +19,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hoshizora_spark.graph.core import Graph, maybe_broadcast, sized_partitions, symmetrize
+from hoshizora_spark.graph.core import (
+    Graph,
+    cache_superstep_edges,
+    maybe_broadcast,
+    symmetrize,
+)
 from hoshizora_spark.runtime.superstep import bsp_loop
 
 _INF = 2**62  # sentinel; never survives into the output
@@ -49,12 +54,13 @@ def bfs_distances(
         raise ValueError(f"bfs sources outside vertex domain 0..{V - 1}: {bad}")
     edges = graph.edges.select("src", "dst") if directed else symmetrize(graph.edges)
     E = edges.count()
-    edges = edges.repartition(sized_partitions(spark, E), "src").persist()
+    # int-compacted + src-sorted per-round scan (see cache_superstep_edges)
+    edges, key_type = cache_superstep_edges(spark, edges, V, E)
     is_source = F.col("vid").isin(src_set)
 
     def step(state: DataFrame, it: int) -> DataFrame:
         st_src = maybe_broadcast(
-            state.select(F.col("vid").alias("src"), F.col("dist").alias("ds")),
+            state.select(F.col("vid").cast(key_type).alias("src"), F.col("dist").alias("ds")),
             V, broadcast_vertices,
         )
         # relax + apply in ONE groupBy(vid): per-edge candidates (ds + 1)
@@ -66,7 +72,7 @@ def bfs_distances(
             edges.join(st_src, "src")
             .filter(F.col("ds") < _INF)
             .select(
-                F.col("dst").alias("vid"),
+                F.col("dst").cast("long").alias("vid"),  # back to the domain type
                 (F.col("ds") + 1).alias("m"),
                 F.lit(None).cast("long").alias("old"),
             )

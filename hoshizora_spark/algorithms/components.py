@@ -21,7 +21,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hoshizora_spark.graph.core import Graph, maybe_broadcast, sized_partitions, symmetrize
+from hoshizora_spark.graph.core import (
+    Graph,
+    cache_superstep_edges,
+    maybe_broadcast,
+    symmetrize,
+)
 from hoshizora_spark.runtime.checkpoint import CheckpointManager
 from hoshizora_spark.runtime.superstep import bsp_loop
 
@@ -45,8 +50,8 @@ def connected_components(
     spark = graph.spark
     V = graph.num_vertices
     sym = symmetrize(graph.edges)
-    n_part = sized_partitions(spark, sym.count())
-    sym = sym.repartition(n_part, "src").persist()
+    # int-compacted + src-sorted per-superstep scan (see cache_superstep_edges)
+    sym, key_type = cache_superstep_edges(spark, sym, V, sym.count())
 
     def step(labels: DataFrame, it: int) -> DataFrame:
         # 1. min neighbor label flowing along every (undirected) edge into
@@ -57,10 +62,12 @@ def connected_components(
         #    { agg + broadcast-collect job + left join } (one fewer driver
         #    job per superstep; BENCH.md f attack).
         lbl_src = maybe_broadcast(
-            labels.select(F.col("vid").alias("src"), "label"), V, broadcast_vertices
+            labels.select(F.col("vid").cast(key_type).alias("src"), "label"),
+            V,
+            broadcast_vertices,
         )
         msgs = sym.join(lbl_src, "src").select(
-            F.col("dst").alias("vid"),
+            F.col("dst").cast("long").alias("vid"),  # back to the domain type
             F.col("label").alias("m"),
             F.lit(None).cast("long").alias("old"),
         )

@@ -27,7 +27,13 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hoshizora_spark.graph.core import Graph, maybe_broadcast, sized_partitions, symmetrize
+from hoshizora_spark.graph.core import (
+    Graph,
+    cache_superstep_edges,
+    maybe_broadcast,
+    sized_partitions,
+    symmetrize,
+)
 
 
 def _hindex_agg(es) -> Column:
@@ -134,9 +140,12 @@ def k_core_hindex(
     V = graph.num_vertices
     sym = symmetrize(graph.edges)
     E = sym.count()
-    sym = sym.repartition(sized_partitions(spark, E), "src").persist()
+    # int-compacted + src-sorted per-round scan (see cache_superstep_edges)
+    sym, key_type = cache_superstep_edges(spark, sym, V, E)
 
-    deg = sym.groupBy(F.col("src").alias("vid")).agg(F.count(F.lit(1)).alias("h"))
+    deg = sym.groupBy(F.col("src").cast("long").alias("vid")).agg(
+        F.count(F.lit(1)).alias("h")
+    )
 
     def init() -> DataFrame:
         return graph.vertices().join(deg, "vid", "left").select(
@@ -145,11 +154,11 @@ def k_core_hindex(
 
     def step(state: DataFrame, it: int) -> DataFrame:
         st_src = maybe_broadcast(
-            state.select(F.col("vid").alias("src"), F.col("h").alias("hs")),
+            state.select(F.col("vid").cast(key_type).alias("src"), F.col("h").alias("hs")),
             V, broadcast_vertices,
         )
         nbr = sym.join(st_src, "src").select(
-            F.col("dst").alias("vid"), F.col("hs").alias("c")
+            F.col("dst").cast("long").alias("vid"), F.col("hs").alias("c")
         )
         hist = nbr.groupBy("vid", "c").agg(F.count(F.lit(1)).alias("cnt"))
         # fold the apply join INTO the histogram collapse: histogram rows

@@ -19,7 +19,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hoshizora_spark.graph.core import Graph, maybe_broadcast, sized_partitions, symmetrize
+from hoshizora_spark.graph.core import (
+    Graph,
+    cache_superstep_edges,
+    maybe_broadcast,
+    symmetrize,
+)
 from hoshizora_spark.runtime.checkpoint import CheckpointManager
 from hoshizora_spark.runtime.superstep import bsp_loop
 
@@ -43,13 +48,15 @@ def label_propagation(
     spark = graph.spark
     V = graph.num_vertices
     sym = symmetrize(graph.edges)
-    n_part = sized_partitions(spark, sym.count())
-    sym = sym.repartition(n_part, "src").persist()
+    # int-compacted + src-sorted per-superstep scan (see cache_superstep_edges)
+    sym, key_type = cache_superstep_edges(spark, sym, V, sym.count())
 
     def step(labels: DataFrame, it: int) -> DataFrame:
         # count neighbor labels arriving at each dst
         lbl_src = maybe_broadcast(
-            labels.select(F.col("vid").alias("src"), "label"), V, broadcast_vertices
+            labels.select(F.col("vid").cast(key_type).alias("src"), "label"),
+            V,
+            broadcast_vertices,
         )
         freq = sym.join(lbl_src, "src").groupBy("dst", "label").agg(
             F.count(F.lit(1)).alias("cnt")
@@ -61,7 +68,7 @@ def label_propagation(
         # yields both the argmax and the old label. One fewer driver job +
         # join per round (BENCH.md f attack).
         cand = freq.select(
-            F.col("dst").alias("vid"),
+            F.col("dst").cast("long").alias("vid"),  # back to the domain type
             F.struct(F.col("cnt"), (-F.col("label")).alias("neg_label")).alias("top"),
             F.lit(None).cast("long").alias("old"),
         )

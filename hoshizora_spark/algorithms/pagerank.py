@@ -33,7 +33,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hoshizora_spark.graph.core import Graph, maybe_broadcast, sized_partitions
+from hoshizora_spark.graph.core import Graph, cache_superstep_edges, maybe_broadcast
 from hoshizora_spark.graph.csr import CsrBlocks, build_csr_blocks
 from hoshizora_spark.runtime.checkpoint import CheckpointManager
 from hoshizora_spark.runtime.gas import gas_step, init_state
@@ -123,23 +123,9 @@ def pagerank(
     num_msg_edges = ew.count()  # distinct (src,dst) pairs carried per superstep
     # Persist the static side once; every superstep reuses it. On a cluster this
     # is the analogue of the reference's one-time CSR build (core/graph.h:439-547).
-    # Layout matters: every superstep re-scans this cache, so (a) vertex ids
-    # compact to int32 when the domain fits (the in-memory columnar cache and
-    # the join/agg rows then carry 4-byte keys — at 10^12-edge scale ids stay
-    # long and the cast is skipped), and (b) rows sort by src within each
-    # partition so the columnar cache's delta/RLE codecs compress the src run
-    # (~40% less scan volume per superstep at 128M edges; the memory-bus term
-    # is what caps single-box N→4N scaling, BENCH.md f + W/cores fit).
-    compact = V - 1 <= 2**31 - 1
-    if compact:
-        ew = ew.select(
-            F.col("src").cast("int").alias("src"),
-            F.col("dst").cast("int").alias("dst"),
-            "w",
-        )
-    n_part = sized_partitions(spark, num_msg_edges)
-    ew = ew.repartition(n_part, "src").sortWithinPartitions("src").persist()
-    key_type = "int" if compact else "long"
+    # int-compacted + src-sorted: the per-superstep cache scan is the loop's
+    # memory-bus bill (BENCH.md f + W/cores fit) — see cache_superstep_edges.
+    ew, key_type = cache_superstep_edges(spark, ew, V, num_msg_edges)
 
     hot = None
     if salt_hot_degree is not None and V > broadcast_vertices:
@@ -323,20 +309,8 @@ def personalized_pagerank(
 
     ew = _weighted_edges(graph)
     num_msg_edges = ew.count()
-    # same int-compact + src-sort cache layout as `pagerank` (see there)
-    compact = V - 1 <= 2**31 - 1
-    if compact:
-        ew = ew.select(
-            F.col("src").cast("int").alias("src"),
-            F.col("dst").cast("int").alias("dst"),
-            "w",
-        )
-    key_type = "int" if compact else "long"
-    ew = (
-        ew.repartition(sized_partitions(spark, num_msg_edges), "src")
-        .sortWithinPartitions("src")
-        .persist()
-    )
+    # same int-compact + src-sort cache layout as `pagerank`
+    ew, key_type = cache_superstep_edges(spark, ew, V, num_msg_edges)
 
     def step(ranks: DataFrame, it: int) -> DataFrame:
         # same union-agg superstep as `pagerank` (one agg, no apply join);

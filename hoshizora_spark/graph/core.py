@@ -54,6 +54,34 @@ def sized_partitions(spark: SparkSession, num_rows: int, rows_per_partition: int
     return max(1, min(cap, num_rows // rows_per_partition + 1))
 
 
+def cache_superstep_edges(
+    spark: SparkSession, edges: DataFrame, num_vertices: int, num_edges: int
+) -> tuple[DataFrame, str]:
+    """Persist a BSP loop's static edge operand with a scan-friendly layout.
+
+    Every superstep re-scans this frame, so its in-memory layout is the
+    loop's memory-bus bill: (a) vertex ids compact to int32 when the domain
+    fits (4-byte join/agg keys; at 10^12-vertex scale ids stay long and the
+    cast is skipped), and (b) rows sort by src within each partition so the
+    columnar cache's delta/RLE codecs compress the src run. Pre-partitioned
+    on src so the per-superstep state join never re-shuffles this side.
+
+    Returns (cached frame, key type name) — steps must cast the state's vid
+    to the key type on the join side and cast message vids back to long.
+    """
+    compact = num_vertices - 1 <= 2**31 - 1
+    if compact:
+        edges = edges.select(
+            *[
+                F.col(c).cast("int").alias(c) if c in ("src", "dst") else F.col(c)
+                for c in edges.columns
+            ]
+        )
+    n_part = sized_partitions(spark, num_edges)
+    cached = edges.repartition(n_part, "src").sortWithinPartitions("src").persist()
+    return cached, ("int" if compact else "long")
+
+
 def maybe_broadcast(df: DataFrame, num_rows: int, threshold: int) -> DataFrame:
     """Broadcast-hint ``df`` when its row count is known to be small.
 
