@@ -87,8 +87,11 @@ def main() -> None:
         queries[name] = round(median(walls), 3)
         return out
 
-    # Shared graph build (timed as its own query; reps re-plan + re-count
-    # the persisted co-occurrence join to measure steady-state build cost).
+    # Shared graph build. q0 is a build-once query: rep 1 pays the real
+    # co-occurrence join + persist (cold), later reps hit the cache — so a
+    # plain median would measure the cache, not the work (VERDICT r4
+    # "what's wrong #2"). Report BOTH: queries.q0 = cold first rep (the
+    # build cost), extras.q0_warm_median_s = median of the warm reps.
     edges = part_cooccur_edges(spark, SF_DIR)
     edges = edges.repartition(CPUS, "src").persist()
 
@@ -96,6 +99,10 @@ def main() -> None:
         return edges.count(), Graph.from_edges(edges)
 
     num_edges, g = run("q0_graph_build", q0)
+    q0_walls = rep_seconds["q0_graph_build"]
+    queries["q0_graph_build"] = q0_walls[0]  # cold
+    if len(q0_walls) > 1:
+        extras["q0_warm_median_s"] = round(median(q0_walls[1:]), 3)
     extras["num_edges"] = num_edges
     extras["num_vertices"] = g.num_vertices
 

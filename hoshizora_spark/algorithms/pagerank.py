@@ -84,6 +84,7 @@ def pagerank(
     broadcast_vertices: int = 200_000,
     salt_hot_degree: int | None = None,
     num_salts: int = 16,
+    hot_keys_df: DataFrame | None = None,
     weight_col: str | None = None,
     fuse: int = 1,
     loop_conf: dict[str, str] | None = None,
@@ -91,8 +92,9 @@ def pagerank(
     """Pure-DataFrame path.
 
     ``loop_conf``: session SQL confs pinned for the loop, restored after
-    (see ``bsp_loop``); ``{"spark.sql.adaptive.enabled": "false"}`` cuts
-    AQE's per-stage driver replanning from every superstep.
+    (see ``bsp_loop``) — a cluster-specific pinning hook, NOT an AQE-off
+    switch: the AQE-off hypothesis was measured and REFUTED (BENCH.md
+    round 4 — AQE-on won all 8 paired comparisons at V=200k/E=128M).
 
     ``fuse`` (experimental): supersteps per lineage cut / convergence
     check (see ``bsp_loop``). Same fixed point modulo float-sum reorder
@@ -111,6 +113,12 @@ def pagerank(
     its edges spread uniformly over the replicas (runtime/skew.py). Only
     engaged when the broadcast fast path is off — a broadcast join has no
     skewed exchange to salt.
+
+    ``hot_keys_df``: externally-derived hot set (one ``src`` column),
+    overriding the internal degree scan — the bridge from the LIVE
+    streaming degree histogram (``streaming_degrees_windowed`` sink →
+    ``hot_keys_from_degrees``) to the snapshot run's salting decisions.
+    Same shuffle-regime gate as ``salt_hot_degree``.
     """
     spark = graph.spark
     V = graph.num_vertices
@@ -128,10 +136,13 @@ def pagerank(
     ew, key_type = cache_superstep_edges(spark, ew, V, num_msg_edges)
 
     hot = None
-    if salt_hot_degree is not None and V > broadcast_vertices:
-        from hoshizora_spark.runtime.skew import hot_keys
+    if V > broadcast_vertices and (salt_hot_degree is not None or hot_keys_df is not None):
+        if hot_keys_df is not None:
+            hot = hot_keys_df.select("src").persist()
+        else:
+            from hoshizora_spark.runtime.skew import hot_keys
 
-        hot = hot_keys(graph.edges, "src", salt_hot_degree).persist()
+            hot = hot_keys(graph.edges, "src", salt_hot_degree).persist()
         hot.count()
 
     def step(ranks: DataFrame, it: int) -> DataFrame:

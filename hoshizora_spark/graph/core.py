@@ -68,6 +68,14 @@ def cache_superstep_edges(
 
     Returns (cached frame, key type name) — steps must cast the state's vid
     to the key type on the join side and cast message vids back to long.
+
+    PRECONDITION (dense domain): every src/dst id lies in
+    ``[0, num_vertices)``. ``num_vertices`` is trusted as the bound — a
+    Graph constructed with an inconsistent explicit ``num_vertices`` whose
+    real ids exceed int32 fails the ANSI cast mid-loop rather than here
+    (validating would cost a full edge scan per loop). Construct with
+    ``Graph.from_edges(..., validate=True)`` to pay that scan once up
+    front when the input isn't trusted.
     """
     compact = num_vertices - 1 <= 2**31 - 1
     if compact:
@@ -117,9 +125,19 @@ class Graph:
         edges: DataFrame,
         num_vertices: int | None = None,
         extra_cols: tuple[str, ...] = (),
+        validate: bool = False,
     ) -> "Graph":
         """``extra_cols`` keeps edge-property columns (e.g. a weight — the
-        analogue of the reference's ``e_props``, core/graph.h:74)."""
+        analogue of the reference's ``e_props``, core/graph.h:74).
+
+        An explicit ``num_vertices`` is a trusted dense-domain contract:
+        every id must lie in ``[0, num_vertices)`` (downstream int32
+        compaction — ``cache_superstep_edges`` — relies on it as the
+        bound). ``validate=True`` pays one edge scan to check it at
+        construction time instead of failing with an ANSI cast error
+        mid-loop; leave it off when the ids come from a builder that
+        guarantees the domain (e.g. ``compact_ids``).
+        """
         edges = edges.select(
             F.col("src").cast("long").alias("src"),
             F.col("dst").cast("long").alias("dst"),
@@ -130,6 +148,18 @@ class Graph:
                 F.max(F.greatest(F.col("src"), F.col("dst"))).alias("mx")
             ).first()
             num_vertices = int(row["mx"]) + 1 if row and row["mx"] is not None else 0
+        elif validate:
+            row = edges.agg(
+                F.max(F.greatest(F.col("src"), F.col("dst"))).alias("mx"),
+                F.min(F.least(F.col("src"), F.col("dst"))).alias("mn"),
+            ).first()
+            if row and row["mx"] is not None and (
+                int(row["mx"]) >= num_vertices or int(row["mn"]) < 0
+            ):
+                raise ValueError(
+                    f"Graph.from_edges: ids span [{row['mn']}, {row['mx']}] — "
+                    f"outside the declared dense domain [0, {num_vertices})"
+                )
         return Graph(edges=edges, num_vertices=num_vertices)
 
     @staticmethod

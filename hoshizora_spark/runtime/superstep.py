@@ -63,15 +63,16 @@ def bsp_loop(
       lineage cut — one extra job per superstep; kept for statistics not
       expressible as a single aggregate.
     * ``loop_conf``: session SQL confs pinned for the duration of the loop
-      and restored after (even on error). The motivating entry is
-      ``spark.sql.adaptive.enabled=false``: AQE re-plans and re-submits
-      stage-by-stage with a driver sync between stages, which is pure
-      fixed cost on a superstep whose plan shape is identical every
-      iteration (the BENCH.md ``f + W/cores`` fit measured ~1.3-2
-      s/superstep of driver cost at 128M edges; AQE replan is one of its
-      largest itemized terms). Loop plans are static and skew-bounded by
-      construction (partial folds cap hot-key fan-in), so losing AQE's
-      runtime re-plan inside the loop costs nothing at any scale.
+      and restored after (even on error). This is a CLUSTER-SPECIFIC
+      pinning hook (e.g. a deployment that wants a fixed shuffle
+      parallelism inside the loop) — it is NOT an AQE-off recommendation.
+      The "disable AQE inside loops" hypothesis was tested and REFUTED
+      (BENCH.md round 4): AQE-on won all 8 paired comparisons at
+      V=200k/E=128M by 1.1-3.6×, because AQE's right-sizing of the
+      partial-fold exchange saves more task-launch cost than its
+      per-stage replan jobs add (the W≈0 probe in scripts/f_probe.py
+      itemizes the trade). Leave loops on the session's AQE setting
+      unless a measurement on YOUR cluster says otherwise.
     * ``fuse`` (EXPERIMENTAL): supersteps per lineage cut / convergence
       check. Same expressions and fold shapes as ``fuse=1``; results agree
       to float-summation reordering (~1e-12 relative — Spark does not pin

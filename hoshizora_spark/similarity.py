@@ -265,6 +265,11 @@ def ivf_index(
     return out, [list(c) for c in cents]
 
 
+# Hard cap on driver-side query collection in ivf_topk — mirrors
+# PersonalizedPageRankKernel.MAX_SEEDS (the driver-collect trap class).
+MAX_QUERIES = 10_000
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -279,16 +284,34 @@ def ivf_topk(
 
     The at-scale shape: the corpus is scanned once for assignment (index
     build, amortized over queries), and each query touches only
-    ~nprobe/n_centroids of the corpus. Queries are small by contract, so
+    ~nprobe/n_centroids of the corpus. Queries are small by contract —
     their cell probes are computed driver-side from the tiny centroid
-    table. Recall grows with nprobe; nprobe = n_centroids degrades
-    gracefully to exact search.
+    table — and the contract is ENFORCED: more than ``MAX_QUERIES``
+    query rows raises instead of silently collecting an unbounded frame
+    (the same trap class as ``PersonalizedPageRankKernel.MAX_SEEDS``,
+    algorithms/pagerank.py). A query set above the cap needs a
+    distributed probe path: assign queries to cells with the same
+    broadcast-centroid ``mapInPandas`` the corpus uses, then join on
+    cell — not implemented because the driver-side probe covers the
+    reference's workloads. Recall grows with nprobe; nprobe =
+    n_centroids degrades gracefully to exact search.
     """
     import numpy as np
 
     assign, cents = ivf_index(embeddings, n_centroids, iters)
     c = np.asarray(cents)  # (k, d), unit rows
-    qrows = with_unit_vectors(queries).select("query_id", F.col("_unit").alias("qv")).collect()
+    qrows = (
+        with_unit_vectors(queries)
+        .select("query_id", F.col("_unit").alias("qv"))
+        .limit(MAX_QUERIES + 1)  # bounds the collect even when over cap
+        .collect()
+    )
+    if len(qrows) > MAX_QUERIES:
+        raise ValueError(
+            f"ivf_topk: query set exceeds MAX_QUERIES={MAX_QUERIES}; the "
+            "driver-side cell probe is for small query sets — batch the "
+            "queries or use a distributed probe (see docstring)"
+        )
     pairs = []  # (query_id, cell)
     for r in qrows:
         sims = c @ np.asarray(r["qv"])
