@@ -410,6 +410,24 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-driver-collect IVF probe path (similarity.ivf_topk_distributed):
+    query→cell assignment rides the same broadcast-centroid mapInPandas the
+    corpus uses, candidates come from a join on cell. Run at nprobe ==
+    n_centroids it degrades exactly to brute-force top-k, so the exact-cosine
+    SQL is the oracle (same contract as q_ivf_topk; pytest additionally pins
+    pair-for-pair equality with the driver-side path at nprobe < n_centroids)."""
+    from hoshizora_spark import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk_distributed(
+        emb, queries_df, k=5, n_centroids=8, nprobe=8, iters=2
+    )
+
+
 def q_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path embedding near-dup: LSH candidates → exact-cosine verify
     (no crossJoin in the plan). The all-pairs SQL is the oracle, so the
@@ -440,6 +458,52 @@ def q_bfs_distances_small(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     res = bfs_distances(g, sources=[1], directed=False)
+    return res.distances.join(present, "vid").select("vid", "dist")
+
+
+def q_sssp_distances_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (Bellman-Ford BSP, algorithms/sssp.py) from
+    supplier 1 over the src<200 undirected subgraph; deterministic integer
+    weight w = (src + 2·dst) % 5 + 1 per directed edge, shared by both
+    directions. Fixed-round relax CTE oracle (stationary at fixpoint)."""
+    from hoshizora_spark import Graph
+    from hoshizora_spark.algorithms.sssp import sssp_distances
+
+    edges = _edges_cooccur(spark, sf_dir).filter(
+        (F.col("src") < 200) & (F.col("dst") < 200)
+    )
+    we = edges.withColumn(
+        "weight", ((F.col("src") + 2 * F.col("dst")) % 5 + 1).cast("double")
+    )
+    g = Graph.from_edges(we, extra_cols=("weight",))
+    present = (
+        edges.select(F.col("src").alias("vid"))
+        .union(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    res = sssp_distances(g, sources=[1], directed=False)
+    return res.distances.join(present, "vid").select("vid", "dist")
+
+
+def q_sssp_distances_csr_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSR-block GAS variant of q_sssp_distances_small (min-monoid kernel
+    over raw edge weights) — same oracle, bit-identical distances."""
+    from hoshizora_spark import Graph
+    from hoshizora_spark.algorithms.sssp import sssp_distances_csr
+
+    edges = _edges_cooccur(spark, sf_dir).filter(
+        (F.col("src") < 200) & (F.col("dst") < 200)
+    )
+    we = edges.withColumn(
+        "weight", ((F.col("src") + 2 * F.col("dst")) % 5 + 1).cast("double")
+    )
+    g = Graph.from_edges(we, extra_cols=("weight",))
+    present = (
+        edges.select(F.col("src").alias("vid"))
+        .union(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    res = sssp_distances_csr(g, sources=[1], directed=False)
     return res.distances.join(present, "vid").select("vid", "dist")
 
 
@@ -613,6 +677,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation_csr": q_label_propagation_csr,
         "bfs_distances_csr_small": q_bfs_distances_csr_small,
         "clustering_modularity_csr": q_clustering_modularity_csr,
+        "sssp_distances_small": q_sssp_distances_small,
+        "sssp_distances_csr_small": q_sssp_distances_csr_small,
+        "ivf_topk_distributed": q_ivf_topk_distributed,
     }
 
 
@@ -1066,6 +1133,41 @@ def _bfs_fixed_sql(rounds: int = 15, source: int = 1) -> str:
     )
 
 
+def _sssp_fixed_sql(rounds: int = 15, source: int = 1) -> str:
+    """Fixed-round Bellman-Ford relax over the src<200 undirected subgraph
+    with weight (src + 2·dst) % 5 + 1 per directed edge (both directions);
+    INF sentinel = 2^62 (matches the Spark implementation), -1.0 output.
+    Stationary at fixpoint, so rounds only needs to cover convergence
+    (measured 3 at sf0.01; 15 mirrors the BFS oracle's margin). Every
+    candidate is the same float64 op chain on both sides (dist + w, min),
+    so the doubles hash-match bit-for-bit."""
+    inf = float(2**62)
+    parts = [
+        f"fe AS MATERIALIZED (SELECT src, dst, CAST((src + 2*dst) % 5 + 1 AS DOUBLE) AS w FROM ({_FILT_COOCCUR}))",
+        "und AS MATERIALIZED (SELECT src, dst, w FROM fe UNION ALL SELECT dst, src, w FROM fe)",
+        "present AS MATERIALIZED (SELECT DISTINCT src AS vid FROM und)",
+        f"""d0 AS MATERIALIZED (
+          SELECT vid, CASE WHEN vid = {source} THEN CAST(0.0 AS DOUBLE)
+                           ELSE CAST({inf} AS DOUBLE) END AS dist
+          FROM present)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+              SELECT d.vid, least(d.dist, coalesce(r.cand, d.dist)) AS dist
+              FROM d{i - 1} d LEFT JOIN (
+                SELECT e.dst AS vid, min(s.dist + e.w) AS cand
+                FROM und e JOIN d{i - 1} s ON s.vid = e.src
+                WHERE s.dist < {inf}
+                GROUP BY e.dst
+              ) r ON r.vid = d.vid)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT vid, CASE WHEN dist >= {inf} THEN CAST(-1.0 AS DOUBLE) ELSE dist END AS dist FROM d{rounds}"
+    )
+
+
 def _winnowing_sql(k: int = 7, window: int = 4, max_chars: int = 500) -> str:
     def hex15(expr: str) -> str:
         return _duck_hex15_to_long(f"substring(sha256({expr}), 1, 15)")
@@ -1249,6 +1351,9 @@ def oracle_sql() -> dict[str, str]:
         "kcore_csr": _kcore_hindex_sql(KCORE_ORACLE_ROUNDS),
         "bfs_distances_small": _bfs_fixed_sql(),
         "bfs_distances_csr_small": _bfs_fixed_sql(),
+        "sssp_distances_small": _sssp_fixed_sql(),
+        "sssp_distances_csr_small": _sssp_fixed_sql(),
+        "ivf_topk_distributed": _COSINE_TOPK_SQL,
         "clustering_modularity": _clustering_fixed_sql(),
         "clustering_modularity_csr": _clustering_fixed_sql(),
         "edge_extract_bipartite": """

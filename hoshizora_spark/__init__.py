@@ -18,6 +18,7 @@ from hoshizora_spark.algorithms.pagerank import (
     top_k,
 )
 from hoshizora_spark.algorithms.bfs import bfs_distances, bfs_distances_csr
+from hoshizora_spark.algorithms.sssp import sssp_distances, sssp_distances_csr
 from hoshizora_spark.algorithms.edge_state import smoothed_pagerank
 from hoshizora_spark.algorithms.clustering import clustering
 from hoshizora_spark.algorithms.components import (
@@ -42,6 +43,8 @@ __all__ = [
     "symmetrize",
     "bfs_distances",
     "bfs_distances_csr",
+    "sssp_distances",
+    "sssp_distances_csr",
     "pagerank",
     "pagerank_csr",
     "personalized_pagerank",

@@ -289,12 +289,12 @@ def ivf_topk(
     table — and the contract is ENFORCED: more than ``MAX_QUERIES``
     query rows raises instead of silently collecting an unbounded frame
     (the same trap class as ``PersonalizedPageRankKernel.MAX_SEEDS``,
-    algorithms/pagerank.py). A query set above the cap needs a
-    distributed probe path: assign queries to cells with the same
-    broadcast-centroid ``mapInPandas`` the corpus uses, then join on
-    cell — not implemented because the driver-side probe covers the
-    reference's workloads. Recall grows with nprobe; nprobe =
-    n_centroids degrades gracefully to exact search.
+    algorithms/pagerank.py). A query set above the cap takes the
+    distributed probe path instead — ``ivf_topk_distributed`` below,
+    which assigns queries to cells with the same broadcast-centroid
+    ``mapInPandas`` the corpus uses and joins on cell; both paths
+    produce identical results at identical settings. Recall grows with
+    nprobe; nprobe = n_centroids degrades gracefully to exact search.
     """
     import numpy as np
 
@@ -309,8 +309,8 @@ def ivf_topk(
     if len(qrows) > MAX_QUERIES:
         raise ValueError(
             f"ivf_topk: query set exceeds MAX_QUERIES={MAX_QUERIES}; the "
-            "driver-side cell probe is for small query sets — batch the "
-            "queries or use a distributed probe (see docstring)"
+            "driver-side cell probe is for small query sets — use "
+            "ivf_topk_distributed (identical results, no driver collect)"
         )
     pairs = []  # (query_id, cell)
     for r in qrows:
@@ -328,6 +328,88 @@ def ivf_topk(
         cand.filter(F.col("vec_id") != F.col("query_id"))
         .join(corp, "vec_id")
         .join(F.broadcast(qry), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_dot(F.col("qv"), F.col("cv")), round_dp).alias("cos"),
+        )
+    )
+    return _per_query_topk(scored, k)
+
+
+def ivf_topk_distributed(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+    round_dp: int = 6,
+    broadcast_probes_max_rows: int = 1_000_000,
+) -> DataFrame:
+    """``ivf_topk`` for query sets of ANY size — no driver-side collect.
+
+    The query→cell probe runs as the same broadcast-centroid
+    ``mapInPandas`` the corpus assignment uses (the centroid table is
+    n_centroids×d floats riding in the task closure), so the query frame
+    is never materialized on the driver; candidates come from a join on
+    ``cell``. Identical output to ``ivf_topk`` at identical settings:
+    both probe via ``np.argsort(-sims)[:nprobe]`` over the same k-means
+    centroids, and each corpus vector lives in exactly one cell, so the
+    candidate sets match pair-for-pair.
+
+    At-scale shape: ``cell`` has n_centroids distinct values — small for
+    the default 16, but the IVF scale recipe is n_centroids ≈ √N (tens of
+    thousands at 10^9 vectors), at which point the cell join is a
+    well-keyed shuffle and AQE's skew split handles lopsided cells. Below
+    ``broadcast_probes_max_rows`` probe rows (n_queries × nprobe, counted
+    with one small agg over the probe output) the probe side is
+    broadcast-hinted so the corpus assignment never re-shuffles. The final
+    per-query top-k is the same bounded partial as everywhere else
+    (``_per_query_topk``): ≤ k rows per (query, partition) on the
+    exchange, never a global window.
+    """
+    import numpy as np
+    import pandas as pd
+
+    assign, cents = ivf_index(embeddings, n_centroids, iters)
+    c = np.asarray(cents)  # (n_centroids, d), unit rows; tiny closure capture
+
+    qunit = with_unit_vectors(queries).select(
+        "query_id", F.col("_unit").alias("qv")
+    )
+
+    def probe_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qv = np.array(pdf["qv"].tolist(), dtype=np.float64)  # (b, d)
+            sims = qv @ c.T
+            # same tie order as ivf_topk's per-row np.argsort(-sims)[:nprobe]
+            top = np.argsort(-sims, axis=1)[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(
+                        pdf["query_id"].to_numpy(np.int64), top.shape[1]
+                    ),
+                    "cell": top.ravel().astype(np.int32),
+                }
+            )
+
+    probes = qunit.mapInPandas(probe_batches, schema="query_id long, cell int")
+    # one small agg job decides the join strategy; the probe output is
+    # recomputed in the join (2 passes over the query scan — cheaper than
+    # persisting a frame that is usually tiny)
+    n_probe_rows = probes.count()
+    if n_probe_rows <= broadcast_probes_max_rows:
+        probes = F.broadcast(probes)
+    cand = assign.join(probes, "cell").select("query_id", "vec_id")
+
+    corp = with_unit_vectors(embeddings).select("vec_id", F.col("_unit").alias("cv"))
+    scored = (
+        cand.filter(F.col("vec_id") != F.col("query_id"))
+        .join(corp, "vec_id")
+        .join(qunit, "query_id")
         .select(
             "query_id",
             "vec_id",

@@ -243,3 +243,38 @@ def bfs_distances(
                 dist[v] = dist[u] + 1
                 dq.append(v)
     return dist
+
+
+def sssp_distances(
+    edges: list[tuple[int, int]],
+    weights: list[float],
+    sources: list[int],
+    directed: bool = True,
+    num_vertices: int | None = None,
+) -> np.ndarray:
+    """Multi-source Dijkstra (non-negative weights); -1.0 = unreachable."""
+    import heapq
+
+    n = num_vertices if num_vertices is not None else num_vertices_of(edges)
+    adj: list[list[tuple[int, float]]] = [[] for _ in range(n)]
+    for (s, d), w in zip(edges, weights):
+        adj[s].append((d, float(w)))
+        if not directed:
+            adj[d].append((s, float(w)))
+    dist = np.full(n, np.inf)
+    heap = []
+    for s in sources:
+        if dist[s] > 0.0:
+            dist[s] = 0.0
+            heapq.heappush(heap, (0.0, s))
+    while heap:
+        du, u = heapq.heappop(heap)
+        if du > dist[u]:
+            continue
+        for v, w in adj[u]:
+            nd = du + w
+            if nd < dist[v]:
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    dist[np.isinf(dist)] = -1.0
+    return dist

@@ -326,3 +326,53 @@ def test_cosine_near_dup_lsh_matches_exact_on_clusters(spark, clustered_emb):
     }
     assert len(exact) > 0
     assert lsh == exact
+
+
+def test_ivf_topk_distributed_matches_driver_path(spark, clustered_emb):
+    """The distributed probe (mapInPandas query->cell, join on cell) must
+    produce the EXACT rows of the driver-side probe at identical settings
+    -- both at nprobe=1 on cellular data and at nprobe=n_centroids
+    (degenerate exact search)."""
+    from pyspark.sql import functions as F
+
+    q = clustered_emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for nprobe in (1, 3):
+        drv = {tuple(r) for r in similarity.ivf_topk(
+            clustered_emb, q, k=5, n_centroids=3, nprobe=nprobe, iters=8).collect()}
+        dist = {tuple(r) for r in similarity.ivf_topk_distributed(
+            clustered_emb, q, k=5, n_centroids=3, nprobe=nprobe, iters=8).collect()}
+        assert dist == drv, f"nprobe={nprobe}"
+
+
+def test_ivf_topk_distributed_no_driver_collect_in_probe(spark, clustered_emb):
+    """Queries enter the probe through mapInPandas (Arrow-batched), never
+    BatchEvalPython; and the path has no MAX_QUERIES ceiling."""
+    from pyspark.sql import functions as F
+
+    q = clustered_emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.ivf_topk_distributed(
+        clustered_emb, q, k=3, n_centroids=3, nprobe=3, iters=8
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    exact = {(r["query_id"], r["vec_id"]) for r in
+             similarity.cosine_topk(clustered_emb, q, k=3).collect()}
+    got = {(r["query_id"], r["vec_id"]) for r in out.collect()}
+    assert got == exact  # nprobe == n_centroids degrades to exact search
+
+
+def test_ivf_topk_over_cap_points_to_distributed(spark, clustered_emb):
+    from pyspark.sql import functions as F
+
+    import hoshizora_spark.similarity as sim
+
+    q = clustered_emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    old = sim.MAX_QUERIES
+    sim.MAX_QUERIES = 10
+    try:
+        with pytest.raises(ValueError, match="ivf_topk_distributed"):
+            sim.ivf_topk(clustered_emb, q, k=3, n_centroids=3, nprobe=3, iters=2)
+    finally:
+        sim.MAX_QUERIES = old
