@@ -9,10 +9,11 @@ persists vertex state so a run can resume mid-convergence. Layout:
 
 On a cluster ``base`` would be an Iceberg warehouse path; parquet-on-dir is
 the same write shape (atomic per-iteration directory + _SUCCESS marker).
-``base_dir`` must be driver-visible (local/NFS in this sandbox): the
-``_DONE`` markers and ``latest_iter`` scan use plain file I/O. For object
-stores, swap those two helpers to ``fsspec``/Hadoop FS calls — the Spark
-reads/writes already take any ``scheme://`` path.
+``base_dir`` takes any ``scheme://`` path: the Spark reads/writes pass it
+through, and the driver-side ``_DONE`` markers / ``latest_iter`` scan go
+through the same scheme-detected ``pyarrow.fs`` abstraction as the CSR
+sidecar store (graph/csr.py ``_fs_for`` — bare path → LocalFileSystem,
+``hdfs://``/``s3://``/``file://`` via ``FileSystem.from_uri``).
 The reference has no analogue — it mutates a double-buffered array in place
 (core/graph.h:431-435); checkpointing is what replaces that on Spark, and it
 also cuts DataFrame lineage so analyzer cost stays O(1) per superstep.
@@ -23,10 +24,11 @@ from __future__ import annotations
 import json
 import time
 import uuid
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from hoshizora_spark.graph.csr import _fs_for
 
 
 def cut_lineage(df: DataFrame) -> DataFrame:
@@ -61,13 +63,15 @@ class CheckpointManager:
     def __init__(self, base_dir: str, algo: str, run_id: str | None = None) -> None:
         self.algo = algo
         self.run_id = run_id or uuid.uuid4().hex[:12]
-        self.root = Path(base_dir) / algo / self.run_id
-        self.root.mkdir(parents=True, exist_ok=True)
+        # string join, not pathlib: Path() mangles scheme://host URIs
+        self.root = f"{str(base_dir).rstrip('/')}/{algo}/{self.run_id}"
+        filesystem, p = _fs_for(self.root)
+        filesystem.create_dir(p, recursive=True)
 
     # -- state ---------------------------------------------------------------
 
-    def _iter_dir(self, it: int) -> Path:
-        return self.root / f"iter={it:05d}"
+    def _iter_dir(self, it: int) -> str:
+        return f"{self.root}/iter={it:05d}"
 
     def save_state(self, it: int, state: DataFrame) -> DataFrame:
         """Write state for superstep ``it``; return the re-read DataFrame.
@@ -77,7 +81,7 @@ class CheckpointManager:
         iteration history) and makes resume trivially correct.
         """
         d = self._iter_dir(it)
-        state_path = str(d / "state")
+        state_path = f"{d}/state"
         state.write.mode("overwrite").parquet(state_path)
         spark = state.sparkSession
         reread = spark.read.parquet(state_path)
@@ -91,18 +95,27 @@ class CheckpointManager:
             )
             .withColumn("iter", F.lit(it))
         )
-        lineage.write.mode("overwrite").parquet(str(d / "lineage"))
-        (d / "_DONE").write_text(json.dumps({"iter": it, "ts": time.time()}))
+        lineage.write.mode("overwrite").parquet(f"{d}/lineage")
+        filesystem, p = _fs_for(d)
+        with filesystem.open_output_stream(f"{p}/_DONE") as fh:
+            fh.write(json.dumps({"iter": it, "ts": time.time()}).encode())
         return reread
 
     def latest_iter(self) -> int | None:
-        done = sorted(self.root.glob("iter=*/_DONE"))
-        if not done:
-            return None
-        return int(done[-1].parent.name.split("=")[1])
+        from pyarrow import fs as pafs
+
+        filesystem, p = _fs_for(self.root)
+        sel = pafs.FileSelector(p, allow_not_found=True)
+        iters = []
+        for fi in filesystem.get_file_info(sel):
+            if fi.type == pafs.FileType.Directory and fi.base_name.startswith("iter="):
+                done = filesystem.get_file_info(f"{fi.path}/_DONE")
+                if done.type == pafs.FileType.File:
+                    iters.append(int(fi.base_name.split("=")[1]))
+        return max(iters) if iters else None
 
     def load_state(self, spark: SparkSession, it: int) -> DataFrame:
-        return spark.read.parquet(str(self._iter_dir(it) / "state"))
+        return spark.read.parquet(f"{self._iter_dir(it)}/state")
 
     # -- metrics ---------------------------------------------------------------
 
@@ -130,7 +143,7 @@ class CheckpointManager:
             schema="run_id string, iter int, edges_processed long, wall_ms double,"
             " max_abs_delta double, changed long",
         )
-        df.write.mode("append").parquet(str(self.root / "metrics"))
+        df.write.mode("append").parquet(f"{self.root}/metrics")
 
     def metrics(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(str(self.root / "metrics"))
+        return spark.read.parquet(f"{self.root}/metrics")

@@ -85,3 +85,28 @@ def test_cc_resume_identical(spark, tmp_path):
     resumed = connected_components(g, checkpoint=ck2, resume=True)
     got = {r["vid"]: r["label"] for r in resumed.labels.collect()}
     assert resumed.converged and got == want
+
+
+def test_checkpoint_manager_file_uri_roundtrip(spark, tmp_path):
+    """CheckpointManager through a file:// URI base — the same scheme-
+    detected pyarrow.fs path the CSR sidecar uses (a bare path and a URI
+    must behave identically; on a real cluster the URI is hdfs:// / s3://)."""
+    edges = ALL_FIXTURES["g4_two_triangles_bridge"]
+    g = Graph.from_edges(edges_from_pairs(spark, edges))
+
+    full = pagerank(g, tol=1e-8, max_iters=200)
+    want = _ranks_array(full, g.num_vertices)
+
+    ck = CheckpointManager(f"file://{tmp_path}/ckpt", "pagerank", run_id="uri1")
+    assert ck.latest_iter() is None
+    partial = pagerank(g, tol=None, max_iters=5, checkpoint=ck)  # "killed" at 5
+    assert ck.latest_iter() == 4
+
+    # resume from the URI-rooted store: identical fixpoint
+    ck2 = CheckpointManager(f"file://{tmp_path}/ckpt", "pagerank", run_id="uri1")
+    resumed = pagerank(g, tol=1e-8, max_iters=200, checkpoint=ck2, resume=True)
+    assert resumed.converged
+    assert np.allclose(_ranks_array(resumed, g.num_vertices), want, atol=1e-9)
+    # lineage + metrics parquet live under the URI root and read back
+    m = ck2.metrics(spark)
+    assert m.count() >= partial.iterations + resumed.iterations
