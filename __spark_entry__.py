@@ -118,6 +118,16 @@ def q_triangle_total_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,)], schema="triangles long")
 
 
+def q_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per vertex over the supplier
+    co-occurrence graph (full dense domain): lcc = 2T/(d(d−1)), 0 below
+    degree 2. Exact-integer T and d make the double division bit-portable."""
+    from hoshizora_spark import Graph, clustering_coefficients
+
+    g = Graph.from_edges(_edges_cooccur(spark, sf_dir))
+    return clustering_coefficients(g)
+
+
 def q_connected_components_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hoshizora_spark import Graph, connected_components
 
@@ -680,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_distances_small": q_sssp_distances_small,
         "sssp_distances_csr_small": q_sssp_distances_csr_small,
         "ivf_topk_distributed": q_ivf_topk_distributed,
+        "clustering_coefficients": q_clustering_coefficients,
     }
 
 
@@ -1354,6 +1365,35 @@ def oracle_sql() -> dict[str, str]:
         "sssp_distances_small": _sssp_fixed_sql(),
         "sssp_distances_csr_small": _sssp_fixed_sql(),
         "ivf_topk_distributed": _COSINE_TOPK_SQL,
+        "clustering_coefficients": f"""
+            WITH e AS ({_COOCCUR_SQL}),
+            tri AS (
+              SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+              FROM e e1 JOIN e e2 ON e1.dst = e2.src
+                        JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+            ),
+            corners AS (
+              SELECT x AS vid FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri
+            ),
+            tcnt AS (SELECT vid, count(*) AS t FROM corners GROUP BY vid),
+            und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+            degs AS (SELECT src AS vid, count(*) AS d FROM und GROUP BY src),
+            verts AS (
+              SELECT unnest(generate_series(0,
+                       (SELECT max(greatest(src, dst)) FROM e))) AS vid
+            )
+            SELECT v.vid,
+                   coalesce(t, 0) AS triangles,
+                   coalesce(d, 0) AS degree,
+                   CASE WHEN coalesce(d, 0) >= 2
+                        THEN 2.0 * coalesce(t, 0) / (d * (d - 1.0))
+                        ELSE CAST(0.0 AS DOUBLE) END AS lcc
+            FROM verts v
+            LEFT JOIN tcnt ON tcnt.vid = v.vid
+            LEFT JOIN degs ON degs.vid = v.vid
+        """,
         "clustering_modularity": _clustering_fixed_sql(),
         "clustering_modularity_csr": _clustering_fixed_sql(),
         "edge_extract_bipartite": """

@@ -27,7 +27,11 @@ from hoshizora_spark.algorithms.components import (
 )
 from hoshizora_spark.algorithms.kcore import k_core, k_core_hindex, k_core_hindex_csr
 from hoshizora_spark.algorithms.labelprop import label_propagation, label_propagation_csr
-from hoshizora_spark.algorithms.triangles import triangle_counts, triangle_total
+from hoshizora_spark.algorithms.triangles import (
+    clustering_coefficients,
+    triangle_counts,
+    triangle_total,
+)
 from hoshizora_spark import multimodal, similarity, text
 from hoshizora_spark.io import read_edge_list, read_edges_parquet
 from hoshizora_spark.runtime.checkpoint import CheckpointManager
@@ -64,6 +68,7 @@ __all__ = [
     "text",
     "label_propagation",
     "label_propagation_csr",
+    "clustering_coefficients",
     "triangle_counts",
     "triangle_total",
     "CheckpointManager",

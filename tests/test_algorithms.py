@@ -183,3 +183,24 @@ def test_pagerank_fused_convergence_overshoot_bounded(spark):
     ra = {r["vid"]: r["rank"] for r in a.ranks.collect()}
     rb = {r["vid"]: r["rank"] for r in b.ranks.collect()}
     assert all(abs(ra[v] - rb[v]) < 1e-7 for v in ra)
+
+
+@pytest.mark.parametrize("name", FIXTURE_NAMES)
+def test_clustering_coefficients_exact(spark, name):
+    from hoshizora_spark import clustering_coefficients
+
+    edges = ALL_FIXTURES[name]
+    g = _graph(spark, name)
+    rows = {r["vid"]: r for r in clustering_coefficients(g).collect()}
+    tri = oracle.triangle_counts(edges)
+    und = oracle._undirected_simple(edges)
+    deg = np.zeros(g.num_vertices, dtype=np.int64)
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    assert set(rows) == set(range(g.num_vertices))  # full dense domain
+    for v in range(g.num_vertices):
+        r = rows[v]
+        assert r["triangles"] == tri[v] and r["degree"] == deg[v], (name, v)
+        want = 2.0 * tri[v] / (deg[v] * (deg[v] - 1.0)) if deg[v] >= 2 else 0.0
+        assert r["lcc"] == want, (name, v, r["lcc"], want)
