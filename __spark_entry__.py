@@ -517,6 +517,28 @@ def q_sssp_distances_csr_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.distances.join(present, "vid").select("vid", "dist")
 
 
+_ANF_H = 10  # fixed ladder length; stationary past convergence (~3 rounds)
+
+
+def q_anf_exact_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact neighborhood function N(h) over the src<200 undirected
+    subgraph (bitset-union BSP, algorithms/anf.py) — (h, n_pairs) ladder
+    padded to a fixed h=0..10 so it aligns with the fixed-round
+    reachability CTE oracle (both stationary at the fixpoint)."""
+    from hoshizora_spark import Graph, neighborhood_function
+
+    edges = _edges_cooccur(spark, sf_dir).filter(
+        (F.col("src") < 200) & (F.col("dst") < 200)
+    )
+    g = Graph.from_edges(edges)
+    res = neighborhood_function(g, directed=False)
+    ladder = res.n_per_h + [res.n_per_h[-1]] * (_ANF_H + 1 - len(res.n_per_h))
+    return spark.createDataFrame(
+        [(h, int(n)) for h, n in enumerate(ladder[: _ANF_H + 1])],
+        schema="h int, n_pairs long",
+    )
+
+
 def q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pre-tokenizer counts (letter/digit/punct runs)."""
     from hoshizora_spark import text
@@ -691,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_distances_csr_small": q_sssp_distances_csr_small,
         "ivf_topk_distributed": q_ivf_topk_distributed,
         "clustering_coefficients": q_clustering_coefficients,
+        "anf_exact_small": q_anf_exact_small,
     }
 
 
@@ -1179,6 +1202,33 @@ def _sssp_fixed_sql(rounds: int = 15, source: int = 1) -> str:
     )
 
 
+def _anf_fixed_sql(rounds: int = _ANF_H) -> str:
+    """Fixed-round reachability closure over the src<200 undirected
+    subgraph (dense vertex domain incl. isolated ids): r_i = r_{i-1} ∪
+    (r_{i-1} ∘ edges), N(h) = |r_h|. Stationary at the fixpoint, matching
+    the Spark side's padded ladder."""
+    parts = [
+        f"fe AS MATERIALIZED ({_FILT_COOCCUR})",
+        "und AS MATERIALIZED (SELECT src, dst FROM fe UNION SELECT dst, src FROM fe)",
+        """verts AS MATERIALIZED (
+          SELECT unnest(generate_series(0,
+                   (SELECT max(greatest(src, dst)) FROM fe))) AS vid)""",
+        "r0 AS MATERIALIZED (SELECT vid AS s, vid AS t FROM verts)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+              SELECT s, t FROM r{i - 1}
+              UNION
+              SELECT r.s, u.dst AS t FROM r{i - 1} r JOIN und u ON u.src = r.t)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS h, (SELECT count(*) FROM r{i}) AS n_pairs"
+        for i in range(rounds + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT h, n_pairs FROM ({selects}) ORDER BY h"
+
+
 def _winnowing_sql(k: int = 7, window: int = 4, max_chars: int = 500) -> str:
     def hex15(expr: str) -> str:
         return _duck_hex15_to_long(f"substring(sha256({expr}), 1, 15)")
@@ -1365,6 +1415,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp_distances_small": _sssp_fixed_sql(),
         "sssp_distances_csr_small": _sssp_fixed_sql(),
         "ivf_topk_distributed": _COSINE_TOPK_SQL,
+        "anf_exact_small": _anf_fixed_sql(),
         "clustering_coefficients": f"""
             WITH e AS ({_COOCCUR_SQL}),
             tri AS (

@@ -18,6 +18,10 @@ from hoshizora_spark.algorithms.pagerank import (
     top_k,
 )
 from hoshizora_spark.algorithms.bfs import bfs_distances, bfs_distances_csr
+from hoshizora_spark.algorithms.anf import (
+    neighborhood_function,
+    neighborhood_function_hll,
+)
 from hoshizora_spark.algorithms.sssp import sssp_distances, sssp_distances_csr
 from hoshizora_spark.algorithms.edge_state import smoothed_pagerank
 from hoshizora_spark.algorithms.clustering import clustering
@@ -49,6 +53,8 @@ __all__ = [
     "bfs_distances_csr",
     "sssp_distances",
     "sssp_distances_csr",
+    "neighborhood_function",
+    "neighborhood_function_hll",
     "pagerank",
     "pagerank_csr",
     "personalized_pagerank",
