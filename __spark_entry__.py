@@ -539,6 +539,20 @@ def q_anf_exact_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_harmonic_centrality_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact harmonic centrality H(v) = Σ 1/d(u,v) over the src<200
+    undirected subgraph (all-pairs BSP, algorithms/centrality.py), dense
+    domain, round-6 per the double-sum oracle convention."""
+    from hoshizora_spark import Graph, harmonic_centrality
+
+    edges = _edges_cooccur(spark, sf_dir).filter(
+        (F.col("src") < 200) & (F.col("dst") < 200)
+    )
+    g = Graph.from_edges(edges)
+    res = harmonic_centrality(g, directed=False, round_dp=6)
+    return res.centrality
+
+
 def q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pre-tokenizer counts (letter/digit/punct runs)."""
     from hoshizora_spark import text
@@ -714,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_distributed": q_ivf_topk_distributed,
         "clustering_coefficients": q_clustering_coefficients,
         "anf_exact_small": q_anf_exact_small,
+        "harmonic_centrality_small": q_harmonic_centrality_small,
     }
 
 
@@ -1229,6 +1244,40 @@ def _anf_fixed_sql(rounds: int = _ANF_H) -> str:
     return "WITH " + ",\n".join(parts) + f"\nSELECT h, n_pairs FROM ({selects}) ORDER BY h"
 
 
+def _harmonic_fixed_sql(rounds: int = 15) -> str:
+    """Fixed-round all-pairs min-distance closure over the src<200
+    undirected subgraph, then H(v) = Σ_{u≠v} 1/d(u,v) (round-6, the
+    double-sum convention — Spark and DuckDB sum 1/d in different
+    orders). Stationary at the fixpoint."""
+    parts = [
+        f"fe AS MATERIALIZED ({_FILT_COOCCUR})",
+        "und AS MATERIALIZED (SELECT src, dst FROM fe UNION SELECT dst, src FROM fe)",
+        """verts AS MATERIALIZED (
+          SELECT unnest(generate_series(0,
+                   (SELECT max(greatest(src, dst)) FROM fe))) AS vid)""",
+        "ap0 AS MATERIALIZED (SELECT vid AS s, vid AS t, 0 AS dist FROM verts)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""ap{i} AS MATERIALIZED (
+              SELECT s, t, min(dist) AS dist FROM (
+                SELECT s, t, dist FROM ap{i - 1}
+                UNION ALL
+                SELECT r.s, u.dst AS t, r.dist + 1 AS dist
+                FROM ap{i - 1} r JOIN und u ON u.src = r.t
+              ) GROUP BY s, t)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+        SELECT v.vid, round(coalesce(h.c, 0.0), 6) AS centrality
+        FROM verts v LEFT JOIN (
+          SELECT t AS vid, sum(1.0 / dist) AS c
+          FROM ap{rounds} WHERE dist > 0 GROUP BY t
+        ) h ON h.vid = v.vid"""
+    )
+
+
 def _winnowing_sql(k: int = 7, window: int = 4, max_chars: int = 500) -> str:
     def hex15(expr: str) -> str:
         return _duck_hex15_to_long(f"substring(sha256({expr}), 1, 15)")
@@ -1416,6 +1465,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp_distances_csr_small": _sssp_fixed_sql(),
         "ivf_topk_distributed": _COSINE_TOPK_SQL,
         "anf_exact_small": _anf_fixed_sql(),
+        "harmonic_centrality_small": _harmonic_fixed_sql(),
         "clustering_coefficients": f"""
             WITH e AS ({_COOCCUR_SQL}),
             tri AS (

@@ -22,6 +22,10 @@ from hoshizora_spark.algorithms.anf import (
     neighborhood_function,
     neighborhood_function_hll,
 )
+from hoshizora_spark.algorithms.centrality import (
+    harmonic_centrality,
+    harmonic_centrality_hll,
+)
 from hoshizora_spark.algorithms.sssp import sssp_distances, sssp_distances_csr
 from hoshizora_spark.algorithms.edge_state import smoothed_pagerank
 from hoshizora_spark.algorithms.clustering import clustering
@@ -55,6 +59,8 @@ __all__ = [
     "sssp_distances_csr",
     "neighborhood_function",
     "neighborhood_function_hll",
+    "harmonic_centrality",
+    "harmonic_centrality_hll",
     "pagerank",
     "pagerank_csr",
     "personalized_pagerank",

@@ -1,0 +1,80 @@
+"""Harmonic centrality: exact vs BFS-derived oracle; HyperBall accuracy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hoshizora_spark import (
+    Graph,
+    edges_from_pairs,
+    harmonic_centrality,
+    harmonic_centrality_hll,
+)
+from tests import oracle
+from tests.fixtures import ALL_FIXTURES
+
+
+def _exact_harmonic(edges, num_vertices, directed):
+    """H(v) = sum over sources u != v of 1/d(u -> v)."""
+    h = np.zeros(num_vertices)
+    for s in range(num_vertices):
+        d = oracle.bfs_distances(edges, [s], directed=directed, num_vertices=num_vertices)
+        for t in range(num_vertices):
+            if t != s and d[t] > 0:
+                h[t] += 1.0 / d[t]
+    return h
+
+
+@pytest.mark.parametrize("name", ["g1_chain", "g3_star", "g4_two_triangles_bridge",
+                                  "g5_multi_dup_isolated", "g6_powerlaw"])
+@pytest.mark.parametrize("directed", [True, False])
+def test_harmonic_matches_bfs(spark, name, directed):
+    edges = ALL_FIXTURES[name]
+    g = Graph.from_edges(edges_from_pairs(spark, edges))
+    res = harmonic_centrality(g, directed=directed)
+    assert res.converged
+    rows = {r["vid"]: r["centrality"] for r in res.centrality.collect()}
+    want = _exact_harmonic(edges, g.num_vertices, directed)
+    got = np.array([rows[v] for v in range(g.num_vertices)])
+    assert np.allclose(got, want, atol=1e-12), f"{name} directed={directed}"
+
+
+def test_harmonic_cap_guard(spark):
+    from hoshizora_spark.algorithms import centrality as cmod
+
+    g = Graph.from_edges(
+        edges_from_pairs(spark, [(0, 1)]), num_vertices=cmod.MAX_EXACT_VERTICES + 1
+    )
+    with pytest.raises(ValueError, match="harmonic_centrality_hll"):
+        harmonic_centrality(g)
+
+
+def test_harmonic_hll_rank_quality(spark):
+    """HyperBall at m=256 on the 200-vertex power-law graph: estimates
+    within 20% per vertex-average, and the top-10 ranking overlaps the
+    exact top-10 strongly (the use case is ranking, not point values)."""
+    edges = ALL_FIXTURES["g6_powerlaw"]
+    g = Graph.from_edges(edges_from_pairs(spark, edges))
+    want = _exact_harmonic(edges, g.num_vertices, directed=False)
+    res = harmonic_centrality_hll(g, m=256, directed=False)
+    assert res.converged
+    rows = {r["vid"]: r["centrality"] for r in res.centrality.collect()}
+    got = np.array([rows[v] for v in range(g.num_vertices)])
+    # aggregate accuracy: mean relative error over non-isolated vertices
+    nz = want > 0
+    rel = np.abs(got[nz] - want[nz]) / want[nz]
+    assert rel.mean() < 0.2, rel.mean()
+    top_exact = set(np.argsort(-want)[:10])
+    top_hll = set(np.argsort(-got)[:10])
+    assert len(top_exact & top_hll) >= 6, (top_exact, top_hll)
+    # determinism
+    res2 = harmonic_centrality_hll(g, m=256, directed=False)
+    rows2 = {r["vid"]: r["centrality"] for r in res2.centrality.collect()}
+    assert rows == rows2
+
+
+def test_harmonic_hll_m_guard(spark):
+    g = Graph.from_edges(edges_from_pairs(spark, [(0, 1)]))
+    with pytest.raises(ValueError, match="power of two"):
+        harmonic_centrality_hll(g, m=100)
