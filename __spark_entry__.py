@@ -553,6 +553,16 @@ def q_harmonic_centrality_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.centrality
 
 
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman's degree assortativity r over the full supplier co-occurrence
+    graph — exact-integer moment sums, double combine (identical cast tree
+    in the SQL oracle), round-5."""
+    from hoshizora_spark import Graph, degree_assortativity
+
+    g = Graph.from_edges(_edges_cooccur(spark, sf_dir))
+    return degree_assortativity(g)
+
+
 def q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pre-tokenizer counts (letter/digit/punct runs)."""
     from hoshizora_spark import text
@@ -729,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficients": q_clustering_coefficients,
         "anf_exact_small": q_anf_exact_small,
         "harmonic_centrality_small": q_harmonic_centrality_small,
+        "degree_assortativity": q_degree_assortativity,
     }
 
 
@@ -1466,6 +1477,37 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk_distributed": _COSINE_TOPK_SQL,
         "anf_exact_small": _anf_fixed_sql(),
         "harmonic_centrality_small": _harmonic_fixed_sql(),
+        "degree_assortativity": f"""
+            WITH e AS ({_COOCCUR_SQL}),
+            und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+            deg AS (SELECT src AS v, count(*) AS d FROM und GROUP BY src),
+            stubs AS (
+              SELECT da.d AS dx, db.d AS dy
+              FROM und JOIN deg da ON da.v = und.src
+                       JOIN deg db ON db.v = und.dst
+            ),
+            agg AS (
+              SELECT count(*) AS n, sum(dx) AS sx, sum(dy) AS sy,
+                     sum(dx * dy) AS sxy, sum(dx * dx) AS sxx,
+                     sum(dy * dy) AS syy
+              FROM stubs
+            ),
+            calc AS (
+              SELECT n,
+                     CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+                     CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+                     CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+              FROM agg
+            )
+            SELECT n AS n_stubs,
+                   round(CASE WHEN vx > 0 AND vy > 0
+                              THEN num / (sqrt(vx) * sqrt(vy)) END, 6)
+                     AS assortativity
+            FROM calc
+        """,
         "clustering_coefficients": f"""
             WITH e AS ({_COOCCUR_SQL}),
             tri AS (

@@ -23,6 +23,7 @@ from hoshizora_spark.algorithms.anf import (
     neighborhood_function_hll,
 )
 from hoshizora_spark.algorithms.centrality import (
+    degree_assortativity,
     harmonic_centrality,
     harmonic_centrality_hll,
 )
@@ -61,6 +62,7 @@ __all__ = [
     "neighborhood_function_hll",
     "harmonic_centrality",
     "harmonic_centrality_hll",
+    "degree_assortativity",
     "pagerank",
     "pagerank_csr",
     "personalized_pagerank",

@@ -132,6 +132,46 @@ def harmonic_centrality(
     return CentralityResult(centrality=out, rounds=res.iterations, converged=res.converged)
 
 
+def degree_assortativity(graph: Graph) -> DataFrame:
+    """One-row (n_stubs, assortativity) — Pearson correlation of
+    (deg(u), deg(v)) over the ordered stub pairs of the undirected simple
+    graph (Newman's r; -1 disassortative hubs-to-leaves, +1 assortative).
+
+    Pure Catalyst: one degree agg + two broadcast-size joins + ONE final
+    aggregate. All six moment sums are exact integers (degrees are ints),
+    so the closing float expression is bit-portable: the only doubles are
+    a fixed arithmetic tree over identical integers. NULL when undefined
+    (degree variance 0, e.g. regular graphs)."""
+    und = symmetrize(graph.edges)
+    deg = (
+        und.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .withColumnRenamed("src", "v")
+    )
+    stubs = (
+        und.join(deg.select(F.col("v").alias("src"), F.col("d").alias("dx")), "src")
+        .join(deg.select(F.col("v").alias("dst"), F.col("d").alias("dy")), "dst")
+    )
+    agg = stubs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    # moment sums stay exact longs; the combining products move to double
+    # FIRST (n·sxy overflows long loudly under ANSI at ~10^12 stubs) — the
+    # SQL oracle mirrors the same casts, so the float tree is identical
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = n * F.col("sxy").cast("double") - sx * sy
+    varx = n * F.col("sxx").cast("double") - sx * sx
+    vary = n * F.col("syy").cast("double") - sy * sy
+    r = F.when((varx > 0) & (vary > 0), num / (F.sqrt(varx) * F.sqrt(vary)))
+    return agg.select(F.col("n").alias("n_stubs"), F.round(r, 6).alias("assortativity"))
+
+
 def harmonic_centrality_hll(
     graph: Graph,
     m: int = 64,

@@ -78,3 +78,36 @@ def test_harmonic_hll_m_guard(spark):
     g = Graph.from_edges(edges_from_pairs(spark, [(0, 1)]))
     with pytest.raises(ValueError, match="power of two"):
         harmonic_centrality_hll(g, m=100)
+
+
+def test_degree_assortativity_golden(spark):
+    """Star graph: every edge pairs the hub (deg n) with a leaf (deg 1) ->
+    r = -1 exactly. Chain of 5: known value vs a numpy Pearson oracle."""
+    from hoshizora_spark import degree_assortativity
+
+    g = Graph.from_edges(edges_from_pairs(spark, ALL_FIXTURES["g3_star"]))
+    row = degree_assortativity(g).first()
+    assert row["assortativity"] == -1.0
+
+    edges = ALL_FIXTURES["g6_powerlaw"]
+    g2 = Graph.from_edges(edges_from_pairs(spark, edges))
+    row2 = degree_assortativity(g2).first()
+    und = oracle._undirected_simple(edges)
+    deg = np.zeros(g2.num_vertices, dtype=np.int64)
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    dx = np.array([deg[a] for a, b in und] + [deg[b] for a, b in und], dtype=np.float64)
+    dy = np.array([deg[b] for a, b in und] + [deg[a] for a, b in und], dtype=np.float64)
+    want = np.corrcoef(dx, dy)[0, 1]
+    assert row2["n_stubs"] == 2 * len(und)
+    assert abs(row2["assortativity"] - want) < 1e-6
+
+
+def test_degree_assortativity_null_on_regular(spark):
+    """K3 is 2-regular: zero degree variance -> NULL, not a div-by-zero."""
+    from hoshizora_spark import degree_assortativity
+
+    g = Graph.from_edges(edges_from_pairs(spark, [(0, 1), (1, 2), (0, 2)]))
+    row = degree_assortativity(g).first()
+    assert row["n_stubs"] == 6 and row["assortativity"] is None
