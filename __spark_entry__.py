@@ -563,6 +563,17 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(g)
 
 
+def q_hits_fixed20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS, 20 fixed sequential half-step rounds (a from
+    h_prev, h from new a, L1-normalized each half-step) over the directed
+    src<dst supplier co-occurrence graph; round-6 per the double-sum
+    oracle convention."""
+    from hoshizora_spark import Graph, hits
+
+    g = Graph.from_edges(_edges_cooccur(spark, sf_dir))
+    return hits(g, max_iters=20, tol=None, round_dp=6).scores
+
+
 def q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pre-tokenizer counts (letter/digit/punct runs)."""
     from hoshizora_spark import text
@@ -740,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anf_exact_small": q_anf_exact_small,
         "harmonic_centrality_small": q_harmonic_centrality_small,
         "degree_assortativity": q_degree_assortativity,
+        "hits_fixed20": q_hits_fixed20,
     }
 
 
@@ -1289,6 +1301,57 @@ def _harmonic_fixed_sql(rounds: int = 15) -> str:
     )
 
 
+def _hits_fixed_sql(iters: int = 20) -> str:
+    """HITS unrolled: per round ar = Σ_in h (LEFT JOIN keeps the dense
+    domain), an = L1-normalize, hr = Σ_out an, s = L1-normalize — the
+    exact sequence hits() evaluates in one superstep plan. round-6 per
+    the double-sum convention."""
+    parts = [
+        f"e AS MATERIALIZED ({_COOCCUR_SQL})",
+        """verts AS MATERIALIZED (
+          SELECT unnest(generate_series(0,
+                   (SELECT max(greatest(src, dst)) FROM e))) AS vid)""",
+        """s0 AS MATERIALIZED (
+          SELECT vid, CAST(1.0 AS DOUBLE) AS a, CAST(1.0 AS DOUBLE) AS h
+          FROM verts)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""ar{i} AS MATERIALIZED (
+              SELECT v.vid, coalesce(m.s, 0.0) AS raw
+              FROM verts v LEFT JOIN (
+                SELECT e.dst AS vid, sum(p.h) AS s
+                FROM e JOIN s{i - 1} p ON p.vid = e.src GROUP BY e.dst
+              ) m ON m.vid = v.vid)"""
+        )
+        parts.append(
+            f"""an{i} AS MATERIALIZED (
+              SELECT vid, CASE WHEN (SELECT sum(raw) FROM ar{i}) > 0
+                   THEN raw / (SELECT sum(raw) FROM ar{i}) ELSE 0.0 END AS a
+              FROM ar{i})"""
+        )
+        parts.append(
+            f"""hr{i} AS MATERIALIZED (
+              SELECT v.vid, coalesce(m.s, 0.0) AS raw
+              FROM verts v LEFT JOIN (
+                SELECT e.src AS vid, sum(p.a) AS s
+                FROM e JOIN an{i} p ON p.vid = e.dst GROUP BY e.src
+              ) m ON m.vid = v.vid)"""
+        )
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+              SELECT a.vid, a.a,
+                     CASE WHEN (SELECT sum(raw) FROM hr{i}) > 0
+                          THEN h.raw / (SELECT sum(raw) FROM hr{i})
+                          ELSE 0.0 END AS h
+              FROM an{i} a JOIN hr{i} h ON h.vid = a.vid)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT vid, round(a, 6) AS authority, round(h, 6) AS hub FROM s{iters}"
+    )
+
+
 def _winnowing_sql(k: int = 7, window: int = 4, max_chars: int = 500) -> str:
     def hex15(expr: str) -> str:
         return _duck_hex15_to_long(f"substring(sha256({expr}), 1, 15)")
@@ -1477,6 +1540,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk_distributed": _COSINE_TOPK_SQL,
         "anf_exact_small": _anf_fixed_sql(),
         "harmonic_centrality_small": _harmonic_fixed_sql(),
+        "hits_fixed20": _hits_fixed_sql(20),
         "degree_assortativity": f"""
             WITH e AS ({_COOCCUR_SQL}),
             und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),

@@ -26,6 +26,7 @@ from hoshizora_spark.algorithms.centrality import (
     degree_assortativity,
     harmonic_centrality,
     harmonic_centrality_hll,
+    hits,
 )
 from hoshizora_spark.algorithms.sssp import sssp_distances, sssp_distances_csr
 from hoshizora_spark.algorithms.edge_state import smoothed_pagerank
@@ -63,6 +64,7 @@ __all__ = [
     "harmonic_centrality",
     "harmonic_centrality_hll",
     "degree_assortativity",
+    "hits",
     "pagerank",
     "pagerank_csr",
     "personalized_pagerank",

@@ -172,6 +172,116 @@ def degree_assortativity(graph: Graph) -> DataFrame:
     return agg.select(F.col("n").alias("n_stubs"), F.round(r, 6).alias("assortativity"))
 
 
+@dataclass
+class HitsResult:
+    scores: DataFrame  # (vid: long, authority: double, hub: double)
+    iterations: int
+    converged: bool
+
+
+def hits(
+    graph: Graph,
+    max_iters: int = 50,
+    tol: float | None = 1e-8,
+    directed: bool = True,
+    round_dp: int | None = None,
+    broadcast_rows: int = 200_000,
+) -> HitsResult:
+    """Kleinberg HITS hubs & authorities (sequential half-steps,
+    L1-normalized): a_i = norm(Aᵀ h_{i-1}), h_i = norm(A a_i). Not shipped
+    by the reference (README.md:67, applications WIP); the classic
+    link-analysis companion to PageRank on the same directed graph.
+
+    One ``bsp_loop`` superstep evaluates BOTH half-steps in a single plan
+    (one checkpoint job): each half-step is the usual carrier-row
+    union-agg fold, and each L1 normalizer is a broadcast 1-row aggregate
+    crossJoined back in — no driver action, no Window. The intermediate
+    authority frame is referenced twice (hub messages + carrier); its agg
+    exchange is identical in both branches so Catalyst's ReuseExchange
+    materializes it once. Convergence statistic: Σ_v |Δa| + |Δh| observed
+    on the checkpoint job (zero extra jobs); ``tol=None`` runs exactly
+    ``max_iters`` rounds (the oracle convention).
+
+    ``round_dp``: optional decimal rounding of the outputs (cross-engine
+    double-compare convention; None = raw)."""
+    spark = graph.spark
+    V = graph.num_vertices
+    edges = graph.edges.select("src", "dst") if directed else symmetrize(graph.edges)
+    E = edges.count()
+    edges, key_type = cache_superstep_edges(spark, edges, V, E)
+    nil = F.lit(None).cast("double")
+
+    def init() -> DataFrame:
+        one = F.lit(1.0)
+        return graph.vertices().select(
+            "vid", one.alias("a"), one.alias("h"), F.lit(0.0).alias("da")
+        )
+
+    def _norm_fold(msgs: DataFrame, carrier: DataFrame, val_out: str) -> DataFrame:
+        """Union-agg carrier fold + in-plan L1 normalization of sum(val)."""
+        raw = msgs.unionByName(carrier).groupBy("vid").agg(
+            F.sum("val").alias("raw"),
+            *[
+                F.max(c).alias(c)
+                for c in carrier.columns
+                if c not in ("vid", "val")
+            ],
+        )
+        tot = raw.agg(F.sum("raw").alias("_tot"))
+        keep = [c for c in raw.columns if c != "raw"]
+        newv = F.when(F.col("_tot") > 0, F.col("raw") / F.col("_tot")).otherwise(0.0)
+        return raw.crossJoin(F.broadcast(tot)).select(*keep, newv.alias(val_out))
+
+    def step(state: DataFrame, it: int) -> DataFrame:
+        st = maybe_broadcast(
+            state.select(F.col("vid").cast(key_type).alias("u"), "a", "h"),
+            V,
+            broadcast_rows,
+        )
+        # authority half-step: fold h over IN-edges, carry old a/h for the delta
+        amsgs = edges.join(st, edges["src"] == st["u"]).select(
+            F.col("dst").cast("long").alias("vid"),
+            st["h"].alias("val"),
+            nil.alias("old_a"),
+            nil.alias("old_h"),
+        )
+        acarrier = state.select(
+            "vid", F.lit(0.0).alias("val"), F.col("a").alias("old_a"), F.col("h").alias("old_h")
+        )
+        a_new = _norm_fold(amsgs, acarrier, "a")
+        # hub half-step: fold the NEW a over OUT-edges
+        an = a_new.select(F.col("vid").cast(key_type).alias("w"), F.col("a").alias("aval"))
+        hmsgs = edges.join(an, edges["dst"] == an["w"]).select(
+            F.col("src").cast("long").alias("vid"),
+            F.col("aval").alias("val"),
+            nil.alias("a"),
+            nil.alias("old_a"),
+            nil.alias("old_h"),
+        )
+        hcarrier = a_new.select("vid", F.lit(0.0).alias("val"), "a", "old_a", "old_h")
+        out = _norm_fold(hmsgs, hcarrier, "h")
+        da = F.abs(F.col("a") - F.col("old_a")) + F.abs(F.col("h") - F.col("old_h"))
+        return out.select("vid", "a", "h", da.alias("da"))
+
+    res = bsp_loop(
+        spark,
+        init=init,
+        step=step,
+        stat_expr=F.sum("da"),
+        done=(lambda d: d < tol) if tol is not None else (lambda d: False),
+        restore=lambda df: df,
+        max_iters=max_iters,
+        edges_per_iter=2 * E,
+        metric_kind="delta",
+    )
+    edges.unpersist()
+    a_out, h_out = F.col("a"), F.col("h")
+    if round_dp is not None:
+        a_out, h_out = F.round(a_out, round_dp), F.round(h_out, round_dp)
+    scores = res.state.select("vid", a_out.alias("authority"), h_out.alias("hub"))
+    return HitsResult(scores=scores, iterations=res.iterations, converged=res.converged)
+
+
 def harmonic_centrality_hll(
     graph: Graph,
     m: int = 64,

@@ -111,3 +111,62 @@ def test_degree_assortativity_null_on_regular(spark):
     g = Graph.from_edges(edges_from_pairs(spark, [(0, 1), (1, 2), (0, 2)]))
     row = degree_assortativity(g).first()
     assert row["n_stubs"] == 6 and row["assortativity"] is None
+
+
+def _hits_numpy(edges, num_vertices, iters):
+    """Sequential L1-normalized half-steps; mirrors hits() exactly."""
+    a = np.ones(num_vertices)
+    h = np.ones(num_vertices)
+    for _ in range(iters):
+        ar = np.zeros(num_vertices)
+        for s, t in edges:
+            ar[t] += h[s]
+        a = ar / ar.sum() if ar.sum() > 0 else np.zeros(num_vertices)
+        hr = np.zeros(num_vertices)
+        for s, t in edges:
+            hr[s] += a[t]
+        h = hr / hr.sum() if hr.sum() > 0 else np.zeros(num_vertices)
+    return a, h
+
+
+@pytest.mark.parametrize("name", ["g1_chain", "g3_star", "g6_powerlaw"])
+def test_hits_fixed_iters_matches_numpy(spark, name):
+    from hoshizora_spark import hits
+
+    edges = ALL_FIXTURES[name]
+    g = Graph.from_edges(edges_from_pairs(spark, edges))
+    res = hits(g, max_iters=12, tol=None)
+    assert res.iterations == 12
+    want_a, want_h = _hits_numpy(edges, g.num_vertices, 12)
+    rows = {r["vid"]: r for r in res.scores.collect()}
+    assert len(rows) == g.num_vertices
+    for v in range(g.num_vertices):
+        assert abs(rows[v]["authority"] - want_a[v]) < 1e-9, (name, v)
+        assert abs(rows[v]["hub"] - want_h[v]) < 1e-9, (name, v)
+
+
+def test_hits_tol_converges(spark):
+    from hoshizora_spark import hits
+
+    g = Graph.from_edges(edges_from_pairs(spark, ALL_FIXTURES["g6_powerlaw"]))
+    res = hits(g, max_iters=200, tol=1e-10)
+    assert res.converged and res.iterations < 200
+    # stationary point: one more sequential round moves nothing
+    want_a, want_h = _hits_numpy(
+        ALL_FIXTURES["g6_powerlaw"], g.num_vertices, res.iterations + 20
+    )
+    rows = {r["vid"]: r for r in res.scores.collect()}
+    for v in range(g.num_vertices):
+        assert abs(rows[v]["authority"] - want_a[v]) < 1e-7
+        assert abs(rows[v]["hub"] - want_h[v]) < 1e-7
+
+
+def test_hits_edgeless_graph_zero(spark):
+    from hoshizora_spark import hits
+
+    g = Graph.from_edges(edges_from_pairs(spark, [(0, 1)]).filter("src > 99"),
+                         num_vertices=3)
+    res = hits(g, max_iters=3, tol=None)
+    rows = {r["vid"]: r for r in res.scores.collect()}
+    assert len(rows) == 3
+    assert all(rows[v]["authority"] == 0.0 and rows[v]["hub"] == 0.0 for v in rows)
