@@ -249,8 +249,14 @@ def hits(
             "vid", F.lit(0.0).alias("val"), F.col("a").alias("old_a"), F.col("h").alias("old_h")
         )
         a_new = _norm_fold(amsgs, acarrier, "a")
-        # hub half-step: fold the NEW a over OUT-edges
-        an = a_new.select(F.col("vid").cast(key_type).alias("w"), F.col("a").alias("aval"))
+        # hub half-step: fold the NEW a over OUT-edges (broadcast/shuffle_hash
+        # hinted like the state side — without it Catalyst picks sort-merge
+        # and re-sorts the persisted E-row side every superstep)
+        an = maybe_broadcast(
+            a_new.select(F.col("vid").cast(key_type).alias("w"), F.col("a").alias("aval")),
+            V,
+            broadcast_rows,
+        )
         hmsgs = edges.join(an, edges["dst"] == an["w"]).select(
             F.col("src").cast("long").alias("vid"),
             F.col("aval").alias("val"),

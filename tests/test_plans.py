@@ -207,3 +207,45 @@ def test_many_block_build_routes_and_folds_correctly(spark):
         for r in ew.groupBy("dst").agg(F.sum("w").alias("acc")).collect()
     }
     assert got == want
+
+
+def test_hits_superstep_plan_shape(spark, monkeypatch):
+    """The one-plan HITS superstep: Python-free, no CartesianProduct —
+    each L1 normalizer is a broadcast 1-row nested-loop join, and the two
+    half-step folds are hash aggs. Captures the REAL step closure by
+    spying on bsp_loop."""
+    import hoshizora_spark.algorithms.centrality as C
+
+    captured = {}
+    real = C.bsp_loop
+
+    def spy(spark_, **kw):
+        captured["plan"] = _plan(kw["step"](kw["init"](), 1))
+        return real(spark_, **kw)
+
+    monkeypatch.setattr(C, "bsp_loop", spy)
+    C.hits(_graph(spark), max_iters=1, tol=None)
+    plan = captured["plan"]
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # both per-edge joins are hinted (broadcast here, shuffle_hash at scale):
+    # sort-merge would re-sort the persisted E-row side every superstep
+    assert "SortMergeJoin" not in plan
+    # the two L1 normalizers are broadcast 1-row nested-loop joins; each
+    # x.crossJoin(x.agg) duplicates x's subplan textually, and the authority
+    # frame is referenced twice (hub messages + carrier), so the auth
+    # normalizer appears 2x2=4 times + 1 hub normalizer = 5. The copies share
+    # identical exchanges (AQE stage reuse executes each once), and the
+    # count is a CONSTANT per superstep (lineage is cut every round) — this
+    # assertion pins that it stays constant.
+    assert plan.count("BroadcastNestedLoopJoin") == 5
+
+
+def test_degree_assortativity_single_aggregate_plan(spark):
+    from hoshizora_spark import degree_assortativity
+
+    df = degree_assortativity(_graph(spark))
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
