@@ -574,6 +574,42 @@ def q_hits_fixed20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(g, max_iters=20, tol=None, round_dp=6).scores
 
 
+def q_scc_succession(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components over the directed order-succession
+    graph (supplier of lineitem i -> supplier of lineitem i+1 within an
+    order, sparsified to l_orderkey % 100 = 0 so the SCC structure is a
+    rich bowtie: a ~70-vertex core plus singleton tendrils at sf0.01).
+    Engine: FW-BW coloring (scc.py); oracle: exact doubling-ladder
+    transitive closure — scc(u) = max v with u<->v mutual reachability,
+    the same max-vid label contract."""
+    from hoshizora_spark import Graph, strongly_connected_components
+
+    li = _lineitem(spark, sf_dir).select("l_orderkey", "l_linenumber", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1)
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .filter(F.col("a.l_orderkey") % 100 == 0)
+        .select(
+            F.col("a.l_suppkey").cast("long").alias("src"),
+            F.col("b.l_suppkey").cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    g = Graph.from_edges(edges)
+    present = (
+        edges.select(F.col("src").alias("vid"))
+        .union(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    res = strongly_connected_components(g)
+    return res.labels.join(present, "vid").select("vid", "scc")
+
+
 def q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pre-tokenizer counts (letter/digit/punct runs)."""
     from hoshizora_spark import text
@@ -752,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality_small": q_harmonic_centrality_small,
         "degree_assortativity": q_degree_assortativity,
         "hits_fixed20": q_hits_fixed20,
+        "scc_succession": q_scc_succession,
     }
 
 
@@ -1541,6 +1578,34 @@ def oracle_sql() -> dict[str, str]:
         "anf_exact_small": _anf_fixed_sql(),
         "harmonic_centrality_small": _harmonic_fixed_sql(),
         "hits_fixed20": _hits_fixed_sql(20),
+        "scc_succession": """
+            WITH e AS MATERIALIZED (
+              SELECT DISTINCT CAST(a.l_suppkey AS BIGINT) AS src,
+                              CAST(b.l_suppkey AS BIGINT) AS dst
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND b.l_linenumber = a.l_linenumber + 1
+               AND a.l_suppkey <> b.l_suppkey
+              WHERE a.l_orderkey % 100 = 0
+            ),
+            v AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+            -- doubling-ladder transitive closure: r_k holds all (u, v)
+            -- with a path of length <= 2^k (r0 is reflexive + 1-step);
+            -- 2^7 = 128 >= V at sf0.01, so r7 is the full closure
+            r0 AS MATERIALIZED (
+              SELECT vid AS u, vid AS v FROM v
+              UNION SELECT src AS u, dst AS v FROM e),
+            r1 AS MATERIALIZED (SELECT DISTINCT a.u, b.v FROM r0 a JOIN r0 b ON a.v = b.u),
+            r2 AS MATERIALIZED (SELECT DISTINCT a.u, b.v FROM r1 a JOIN r1 b ON a.v = b.u),
+            r3 AS MATERIALIZED (SELECT DISTINCT a.u, b.v FROM r2 a JOIN r2 b ON a.v = b.u),
+            r4 AS MATERIALIZED (SELECT DISTINCT a.u, b.v FROM r3 a JOIN r3 b ON a.v = b.u),
+            r5 AS MATERIALIZED (SELECT DISTINCT a.u, b.v FROM r4 a JOIN r4 b ON a.v = b.u),
+            r6 AS MATERIALIZED (SELECT DISTINCT a.u, b.v FROM r5 a JOIN r5 b ON a.v = b.u),
+            r7 AS MATERIALIZED (SELECT DISTINCT a.u, b.v FROM r6 a JOIN r6 b ON a.v = b.u)
+            SELECT r.u AS vid, MAX(r.v) AS scc
+            FROM r7 r JOIN r7 rr ON r.u = rr.v AND r.v = rr.u
+            GROUP BY r.u
+        """,
         "degree_assortativity": f"""
             WITH e AS ({_COOCCUR_SQL}),
             und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),

@@ -278,3 +278,61 @@ def sssp_distances(
                 heapq.heappush(heap, (nd, v))
     dist[np.isinf(dist)] = -1.0
     return dist
+
+
+def strongly_connected_components(
+    edges: list[tuple[int, int]], num_vertices: int | None = None
+) -> np.ndarray:
+    """Iterative Tarjan; SCC label = MAX vertex id in the component
+    (matching hoshizora_spark.strongly_connected_components' contract)."""
+    V = num_vertices_of(edges) if num_vertices is None else num_vertices
+    adj: list[list[int]] = [[] for _ in range(V)]
+    for s, d in edges:
+        adj[s].append(d)
+    index = np.full(V, -1, dtype=np.int64)
+    low = np.zeros(V, dtype=np.int64)
+    on_stack = np.zeros(V, dtype=bool)
+    labels = np.full(V, -1, dtype=np.int64)
+    stack: list[int] = []
+    counter = 0
+    for root in range(V):
+        if index[root] != -1:
+            continue
+        # explicit DFS stack of (vertex, next-child-pointer)
+        work = [(root, 0)]
+        while work:
+            v, ci = work[-1]
+            if ci == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack[v] = True
+            advanced = False
+            while ci < len(adj[v]):
+                w = adj[v][ci]
+                ci += 1
+                if index[w] == -1:
+                    work[-1] = (v, ci)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                p = work[-1][0]
+                low[p] = min(low[p], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    comp.append(w)
+                    if w == v:
+                        break
+                lab = max(comp)
+                for w in comp:
+                    labels[w] = lab
+    return labels
