@@ -574,19 +574,14 @@ def q_hits_fixed20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(g, max_iters=20, tol=None, round_dp=6).scores
 
 
-def q_scc_succession(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strongly connected components over the directed order-succession
-    graph (supplier of lineitem i -> supplier of lineitem i+1 within an
-    order, sparsified to l_orderkey % 100 = 0 so the SCC structure is a
-    rich bowtie: a ~70-vertex core plus singleton tendrils at sf0.01).
-    Engine: FW-BW coloring (scc.py); oracle: exact doubling-ladder
-    transitive closure — scc(u) = max v with u<->v mutual reachability,
-    the same max-vid label contract."""
-    from hoshizora_spark import Graph, strongly_connected_components
-
+def _edges_succession(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed order-succession edges: supplier of lineitem i -> supplier
+    of lineitem i+1 within an order, sparsified to l_orderkey % 100 = 0
+    (97 vertices / 263 edges at sf0.01 — a rich bowtie with cycles, unlike
+    the src<dst co-occurrence DAG)."""
     li = _lineitem(spark, sf_dir).select("l_orderkey", "l_linenumber", "l_suppkey")
     a, b = li.alias("a"), li.alias("b")
-    edges = (
+    return (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -600,6 +595,30 @@ def q_scc_succession(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+_SUCCESSION_SQL = """
+  SELECT DISTINCT CAST(a.l_suppkey AS BIGINT) AS src,
+                  CAST(b.l_suppkey AS BIGINT) AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey
+   AND b.l_linenumber = a.l_linenumber + 1
+   AND a.l_suppkey <> b.l_suppkey
+  WHERE a.l_orderkey % 100 = 0
+"""
+
+
+def q_scc_succession(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components over the directed order-succession
+    graph (supplier of lineitem i -> supplier of lineitem i+1 within an
+    order, sparsified to l_orderkey % 100 = 0 so the SCC structure is a
+    rich bowtie: a ~70-vertex core plus singleton tendrils at sf0.01).
+    Engine: FW-BW coloring (scc.py); oracle: exact doubling-ladder
+    transitive closure — scc(u) = max v with u<->v mutual reachability,
+    the same max-vid label contract."""
+    from hoshizora_spark import Graph, strongly_connected_components
+
+    edges = _edges_succession(spark, sf_dir)
     g = Graph.from_edges(edges)
     present = (
         edges.select(F.col("src").alias("vid"))
@@ -608,6 +627,16 @@ def q_scc_succession(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = strongly_connected_components(g)
     return res.labels.join(present, "vid").select("vid", "scc")
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor / Jaccard / Adamic–Adar candidate scores over the
+    (undirected view of the) succession graph: every non-adjacent pair
+    sharing ≥1 neighbor. One wedge join + one aggregation, no windows."""
+    from hoshizora_spark import Graph, link_prediction
+
+    g = Graph.from_edges(_edges_succession(spark, sf_dir))
+    return link_prediction(g)
 
 
 def q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -789,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": q_degree_assortativity,
         "hits_fixed20": q_hits_fixed20,
         "scc_succession": q_scc_succession,
+        "link_prediction": q_link_prediction,
     }
 
 
@@ -1578,16 +1608,8 @@ def oracle_sql() -> dict[str, str]:
         "anf_exact_small": _anf_fixed_sql(),
         "harmonic_centrality_small": _harmonic_fixed_sql(),
         "hits_fixed20": _hits_fixed_sql(20),
-        "scc_succession": """
-            WITH e AS MATERIALIZED (
-              SELECT DISTINCT CAST(a.l_suppkey AS BIGINT) AS src,
-                              CAST(b.l_suppkey AS BIGINT) AS dst
-              FROM lineitem a JOIN lineitem b
-                ON a.l_orderkey = b.l_orderkey
-               AND b.l_linenumber = a.l_linenumber + 1
-               AND a.l_suppkey <> b.l_suppkey
-              WHERE a.l_orderkey % 100 = 0
-            ),
+        "scc_succession": f"""
+            WITH e AS MATERIALIZED ({_SUCCESSION_SQL}),
             v AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e),
             -- doubling-ladder transitive closure: r_k holds all (u, v)
             -- with a path of length <= 2^k (r0 is reflexive + 1-step);
@@ -1605,6 +1627,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.u AS vid, MAX(r.v) AS scc
             FROM r7 r JOIN r7 rr ON r.u = rr.v AND r.v = rr.u
             GROUP BY r.u
+        """,
+        "link_prediction": f"""
+            WITH de AS MATERIALIZED ({_SUCCESSION_SQL}),
+            und AS MATERIALIZED (
+              SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+              FROM de WHERE src <> dst GROUP BY 1, 2
+            ),
+            sym AS (SELECT a AS w, b AS n FROM und UNION ALL SELECT b, a FROM und),
+            deg AS MATERIALIZED (SELECT w, COUNT(*) AS deg FROM sym GROUP BY w),
+            cent AS MATERIALIZED (
+              SELECT sym.w, sym.n, deg.deg FROM sym JOIN deg USING (w)
+            ),
+            pairs AS MATERIALIZED (
+              SELECT l.n AS u, r.n AS v,
+                     COUNT(*) AS common,
+                     SUM(1.0 / ln(CAST(l.deg AS DOUBLE))) AS aa
+              FROM cent l JOIN cent r ON l.w = r.w AND l.n < r.n
+              GROUP BY 1, 2
+            ),
+            cand AS (
+              SELECT p.* FROM pairs p
+              WHERE NOT EXISTS (
+                SELECT 1 FROM und WHERE und.a = p.u AND und.b = p.v
+              )
+            )
+            SELECT c.u, c.v, c.common,
+                   round(CAST(c.common AS DOUBLE)
+                         / (du.deg + dv.deg - c.common), 6) AS jaccard,
+                   round(c.aa, 6) AS adamic_adar
+            FROM cand c
+            JOIN deg du ON du.w = c.u
+            JOIN deg dv ON dv.w = c.v
         """,
         "degree_assortativity": f"""
             WITH e AS ({_COOCCUR_SQL}),

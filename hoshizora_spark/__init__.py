@@ -28,6 +28,7 @@ from hoshizora_spark.algorithms.centrality import (
     harmonic_centrality_hll,
     hits,
 )
+from hoshizora_spark.algorithms.linkpred import link_prediction
 from hoshizora_spark.algorithms.scc import strongly_connected_components
 from hoshizora_spark.algorithms.sssp import sssp_distances, sssp_distances_csr
 from hoshizora_spark.algorithms.edge_state import smoothed_pagerank
@@ -58,6 +59,7 @@ __all__ = [
     "symmetrize",
     "bfs_distances",
     "bfs_distances_csr",
+    "link_prediction",
     "strongly_connected_components",
     "sssp_distances",
     "sssp_distances_csr",

@@ -336,3 +336,37 @@ def strongly_connected_components(
                 for w in comp:
                     labels[w] = lab
     return labels
+
+
+def link_prediction(
+    edges: list[tuple[int, int]],
+    min_common: int = 1,
+    max_hub_degree: int | None = None,
+    include_existing: bool = False,
+) -> dict[tuple[int, int], tuple[int, float, float]]:
+    """{(u, v): (common, jaccard, adamic_adar)} over the undirected
+    simple graph, u < v, unrounded doubles."""
+    import math
+
+    und = _undirected_simple(edges)
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    out: dict[tuple[int, int], tuple[int, float, float]] = {}
+    for w, ns in adj.items():
+        if max_hub_degree is not None and deg[w] > max_hub_degree:
+            continue
+        ns_sorted = sorted(ns)
+        for i, u in enumerate(ns_sorted):
+            for v in ns_sorted[i + 1 :]:
+                key = (u, v)
+                c, j, a = out.get(key, (0, 0.0, 0.0))
+                out[key] = (c + 1, 0.0, a + 1.0 / math.log(deg[w]))
+    for (u, v), (c, _, a) in list(out.items()):
+        if c < min_common or (not include_existing and (u, v) in und):
+            del out[(u, v)]
+            continue
+        out[(u, v)] = (c, c / (deg[u] + deg[v] - c), a)
+    return out
