@@ -639,6 +639,67 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(g)
 
 
+WALKS_LENGTH = 8
+WALKS_PER_VERTEX = 2
+WALKS_SEED = 1
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk-style corpus over the succession graph:
+    2 walks per vertex, 8 steps, seeded integer-mix sampler (walks.py) —
+    the DuckDB oracle replays the identical mix arithmetic step by step."""
+    from hoshizora_spark import Graph, random_walks
+
+    g = Graph.from_edges(_edges_succession(spark, sf_dir))
+    res = random_walks(
+        g,
+        walk_length=WALKS_LENGTH,
+        walks_per_vertex=WALKS_PER_VERTEX,
+        seed=WALKS_SEED,
+    )
+    return res.corpus
+
+
+def _walks_fixed_sql(
+    walk_length: int = WALKS_LENGTH,
+    walks_per_vertex: int = WALKS_PER_VERTEX,
+    seed: int = WALKS_SEED,
+) -> str:
+    """Exact replay of walks.py: indexed out-edges, per-step mix pick,
+    dead-end termination — one materialized CTE per step."""
+    from hoshizora_spark.algorithms.walks import walk_pick_sql
+
+    ctes = [
+        f"de AS MATERIALIZED ({_SUCCESSION_SQL})",
+        """ie AS MATERIALIZED (
+          SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+          FROM de)""",
+        "dg AS MATERIALIZED (SELECT src AS cur, COUNT(*) AS deg FROM de GROUP BY src)",
+        """vx AS MATERIALIZED (
+          SELECT unnest(range(0, (SELECT MAX(GREATEST(src, dst)) + 1 FROM de)))
+            AS vid)""",
+        f"""s0 AS MATERIALIZED (
+          SELECT CAST(vid * {walks_per_vertex} + k AS BIGINT) AS walk_id,
+                 CAST(vid AS BIGINT) AS cur
+          FROM vx, (SELECT unnest(range(0, {walks_per_vertex})) AS k))""",
+    ]
+    selects = ["SELECT walk_id, CAST(0 AS INT) AS step, cur AS vid FROM s0"]
+    for t in range(1, walk_length + 1):
+        pick = walk_pick_sql(t, seed, walk_id="s.walk_id", deg="dg.deg", dialect="duckdb")
+        ctes.append(
+            f"""s{t} AS MATERIALIZED (
+              SELECT s.walk_id, ie.dst AS cur
+              FROM s{t - 1} s
+              JOIN dg ON dg.cur = s.cur
+              JOIN ie ON ie.src = s.cur AND ie.idx = {pick})"""
+        )
+        selects.append(
+            f"SELECT walk_id, CAST({t} AS INT) AS step, cur AS vid FROM s{t}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
 def q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pre-tokenizer counts (letter/digit/punct runs)."""
     from hoshizora_spark import text
@@ -819,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_fixed20": q_hits_fixed20,
         "scc_succession": q_scc_succession,
         "link_prediction": q_link_prediction,
+        "random_walks": q_random_walks,
     }
 
 
@@ -1628,6 +1690,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r7 r JOIN r7 rr ON r.u = rr.v AND r.v = rr.u
             GROUP BY r.u
         """,
+        "random_walks": _walks_fixed_sql(),
         "link_prediction": f"""
             WITH de AS MATERIALIZED ({_SUCCESSION_SQL}),
             und AS MATERIALIZED (

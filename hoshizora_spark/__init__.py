@@ -30,6 +30,7 @@ from hoshizora_spark.algorithms.centrality import (
 )
 from hoshizora_spark.algorithms.linkpred import link_prediction
 from hoshizora_spark.algorithms.scc import strongly_connected_components
+from hoshizora_spark.algorithms.walks import random_walks, walks_as_sentences
 from hoshizora_spark.algorithms.sssp import sssp_distances, sssp_distances_csr
 from hoshizora_spark.algorithms.edge_state import smoothed_pagerank
 from hoshizora_spark.algorithms.clustering import clustering
@@ -61,6 +62,8 @@ __all__ = [
     "bfs_distances_csr",
     "link_prediction",
     "strongly_connected_components",
+    "random_walks",
+    "walks_as_sentences",
     "sssp_distances",
     "sssp_distances_csr",
     "neighborhood_function",

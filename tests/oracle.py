@@ -370,3 +370,41 @@ def link_prediction(
             continue
         out[(u, v)] = (c, c / (deg[u] + deg[v] - c), a)
     return out
+
+
+def random_walks(
+    edges: list[tuple[int, int]],
+    walk_length: int,
+    walks_per_vertex: int,
+    seed: int,
+    num_vertices: int | None = None,
+) -> set[tuple[int, int, int]]:
+    """{(walk_id, step, vid)} replaying walks.py's deterministic sampler:
+    out-edges of each src indexed in sorted-dst order (multi-edges kept),
+    idx = mix(walk_id, step, seed) mod deg; dead ends terminate."""
+    V = num_vertices_of(edges) if num_vertices is None else num_vertices
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    for s in adj:
+        adj[s].sort()
+
+    def mix(walk_id: int, step: int) -> int:
+        x = (walk_id % 2147483647 + 1) * 2654435761 + (
+            step + seed * 10007 + 1
+        ) * 2246822519
+        return x ^ (x >> 33)
+
+    out: set[tuple[int, int, int]] = set()
+    for vid in range(V):
+        for k in range(walks_per_vertex):
+            wid = vid * walks_per_vertex + k
+            cur = vid
+            out.add((wid, 0, cur))
+            for t in range(1, walk_length + 1):
+                ns = adj.get(cur)
+                if not ns:
+                    break
+                cur = ns[mix(wid, t) % len(ns)]
+                out.add((wid, t, cur))
+    return out

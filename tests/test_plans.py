@@ -249,3 +249,34 @@ def test_degree_assortativity_single_aggregate_plan(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_walks_step_plan_shape(spark):
+    """The random-walk building blocks: the edge index is a PARTITIONED
+    window (hash exchange on src, never a global single-partition sort),
+    and a sampling step is Python-free with the V-row degree side
+    broadcast — the E-row probe join keys on (cur, idx) so hubs spread."""
+    from pyspark.sql import Window
+    from hoshizora_spark.algorithms.walks import walk_pick_sql
+
+    g = _graph(spark)
+    w = Window.partitionBy("src").orderBy("dst")
+    indexed = g.edges.select("src", "dst").withColumn(
+        "idx", F.row_number().over(w) - F.lit(1)
+    )
+    iplan = _plan(indexed)
+    assert "SinglePartition" not in iplan  # partitioned window, global sort banned
+    assert "hashpartitioning(src" in iplan
+
+    deg = g.out_degrees.selectExpr("src as cur", "out_deg as deg")
+    state = g.vertices().selectExpr("vid as walk_id", "vid as cur")
+    picked = state.join(
+        maybe_broadcast(deg, g.num_vertices, 10**6), "cur"
+    ).selectExpr("walk_id", "cur", f"{walk_pick_sql(1, 0)} as pick")
+    step = picked.join(
+        indexed, (picked["cur"] == indexed["src"]) & (picked["pick"] == indexed["idx"])
+    ).select("walk_id", "dst")
+    plan = _plan(step)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
