@@ -574,11 +574,12 @@ def q_hits_fixed20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(g, max_iters=20, tol=None, round_dp=6).scores
 
 
-def _edges_succession(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _edges_succession(spark: SparkSession, sf_dir: str, mod: int = 100) -> DataFrame:
     """Directed order-succession edges: supplier of lineitem i -> supplier
-    of lineitem i+1 within an order, sparsified to l_orderkey % 100 = 0
-    (97 vertices / 263 edges at sf0.01 — a rich bowtie with cycles, unlike
-    the src<dst co-occurrence DAG)."""
+    of lineitem i+1 within an order, sparsified to l_orderkey % mod = 0.
+    mod=100 (97 vertices / 263 edges at sf0.01) is a rich bowtie with
+    cycles, unlike the src<dst co-occurrence DAG; mod=20 (1442 edges,
+    3321 triangles) carries a 2..6 truss ladder."""
     li = _lineitem(spark, sf_dir).select("l_orderkey", "l_linenumber", "l_suppkey")
     a, b = li.alias("a"), li.alias("b")
     return (
@@ -588,7 +589,7 @@ def _edges_succession(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1)
             & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
         )
-        .filter(F.col("a.l_orderkey") % 100 == 0)
+        .filter(F.col("a.l_orderkey") % mod == 0)
         .select(
             F.col("a.l_suppkey").cast("long").alias("src"),
             F.col("b.l_suppkey").cast("long").alias("dst"),
@@ -597,15 +598,19 @@ def _edges_succession(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SUCCESSION_SQL = """
-  SELECT DISTINCT CAST(a.l_suppkey AS BIGINT) AS src,
-                  CAST(b.l_suppkey AS BIGINT) AS dst
-  FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey
-   AND b.l_linenumber = a.l_linenumber + 1
-   AND a.l_suppkey <> b.l_suppkey
-  WHERE a.l_orderkey % 100 = 0
-"""
+def _succession_sql(mod: int = 100) -> str:
+    return f"""
+      SELECT DISTINCT CAST(a.l_suppkey AS BIGINT) AS src,
+                      CAST(b.l_suppkey AS BIGINT) AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey
+       AND b.l_linenumber = a.l_linenumber + 1
+       AND a.l_suppkey <> b.l_suppkey
+      WHERE a.l_orderkey % {mod} = 0
+    """
+
+
+_SUCCESSION_SQL = _succession_sql(100)
 
 
 def q_scc_succession(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -698,6 +703,75 @@ def _walks_fixed_sql(
             f"SELECT walk_id, CAST({t} AS INT) AS step, cur AS vid FROM s{t}"
         )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+TRUSS_ORACLE_ROUNDS = 20  # Spark converges in 16 at sf0.01; fixpoint pads
+
+
+def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trussness per undirected edge of the mod-20 succession graph
+    (1442 edges, truss ladder 2..6 at sf0.01) via the h-index fixpoint
+    (truss.py); the oracle unrolls the same operator for
+    TRUSS_ORACLE_ROUNDS rounds (extra rounds are no-ops at the fixpoint,
+    same convention as kcore_small)."""
+    from hoshizora_spark import Graph, k_truss
+
+    g = Graph.from_edges(_edges_succession(spark, sf_dir, mod=20))
+    return k_truss(g).trussness
+
+
+def _truss_fixed_sql(rounds: int = TRUSS_ORACLE_ROUNDS) -> str:
+    """Truss h-index iteration unrolled: per round, each triangle member
+    contributes min(t of the other two) − 2, then per-edge h-index + 2.
+    The CASE handles argmin ties for free: when the min is tied, the
+    second-smallest equals the min, so both branches agree."""
+    parts = [
+        f"de AS MATERIALIZED ({_succession_sql(20)})",
+        """und AS MATERIALIZED (
+          SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM de GROUP BY 1, 2)""",
+        """tri AS MATERIALIZED (
+          SELECT u.a AS x, u.b AS y, w.b AS z
+          FROM und u JOIN und v ON v.a = u.b
+                     JOIN und w ON w.a = u.a AND w.b = v.b)""",
+        """mem AS MATERIALIZED (
+          SELECT x, y, z, x AS a, y AS b FROM tri
+          UNION ALL SELECT x, y, z, x AS a, z AS b FROM tri
+          UNION ALL SELECT x, y, z, y AS a, z AS b FROM tri)""",
+        "t0 AS MATERIALIZED (SELECT a, b, COUNT(*) + 2 AS t FROM mem GROUP BY a, b)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""j{i} AS MATERIALIZED (
+              SELECT m.x, m.y, m.z, m.a, m.b, s.t
+              FROM mem m JOIN t{i - 1} s ON s.a = m.a AND s.b = m.b)"""
+        )
+        parts.append(
+            f"""g{i} AS MATERIALIZED (
+              SELECT x, y, z, MIN(t) AS mn, SUM(t) - MIN(t) - MAX(t) AS mid
+              FROM j{i} GROUP BY 1, 2, 3)"""
+        )
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+              SELECT j.a, j.b,
+                     CASE WHEN j.t = g.mn THEN g.mid ELSE g.mn END - 2 AS c
+              FROM j{i} j JOIN g{i} g
+                ON g.x = j.x AND g.y = j.y AND g.z = j.z)"""
+        )
+        parts.append(
+            f"""t{i} AS MATERIALIZED (
+              SELECT a, b, MAX(LEAST(c, rn)) + 2 AS t FROM (
+                SELECT a, b, c,
+                       row_number() OVER (PARTITION BY a, b ORDER BY c DESC) AS rn
+                FROM c{i}
+              ) GROUP BY a, b)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+        SELECT u.a, u.b, CAST(COALESCE(t.t, 2) AS BIGINT) AS trussness
+        FROM und u LEFT JOIN t{rounds} t ON t.a = u.a AND t.b = u.b"""
+    )
 
 
 def q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -881,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_succession": q_scc_succession,
         "link_prediction": q_link_prediction,
         "random_walks": q_random_walks,
+        "k_truss": q_k_truss,
     }
 
 
@@ -1691,6 +1766,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r.u
         """,
         "random_walks": _walks_fixed_sql(),
+        "k_truss": _truss_fixed_sql(),
         "link_prediction": f"""
             WITH de AS MATERIALIZED ({_SUCCESSION_SQL}),
             und AS MATERIALIZED (

@@ -39,6 +39,7 @@ from hoshizora_spark.algorithms.components import (
     connected_components_csr,
 )
 from hoshizora_spark.algorithms.kcore import k_core, k_core_hindex, k_core_hindex_csr
+from hoshizora_spark.algorithms.truss import k_truss
 from hoshizora_spark.algorithms.labelprop import label_propagation, label_propagation_csr
 from hoshizora_spark.algorithms.triangles import (
     clustering_coefficients,
@@ -61,6 +62,7 @@ __all__ = [
     "bfs_distances",
     "bfs_distances_csr",
     "link_prediction",
+    "k_truss",
     "strongly_connected_components",
     "random_walks",
     "walks_as_sentences",

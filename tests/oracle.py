@@ -408,3 +408,41 @@ def random_walks(
                 cur = ns[mix(wid, t) % len(ns)]
                 out.add((wid, t, cur))
     return out
+
+
+def k_truss(
+    edges: list[tuple[int, int]], num_vertices: int | None = None
+) -> dict[tuple[int, int], int]:
+    """{(a, b): trussness} by exact support peeling (a < b; trussness 2
+    for triangle-free edges) — the ground truth for truss.py's h-index
+    fixpoint."""
+    und = _undirected_simple(edges)
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(und)
+
+    def support(e: tuple[int, int]) -> int:
+        a, b = e
+        return len(adj.get(a, set()) & adj.get(b, set()))
+
+    truss = {e: 2 for e in und}
+    k = 3
+    while alive:
+        # peel all edges with support < k - 2 (cascading), then the
+        # survivors are the k-truss: bump their label and advance k
+        changed = True
+        while changed:
+            changed = False
+            for e in sorted(alive):
+                if support(e) < k - 2:
+                    a, b = e
+                    alive.discard(e)
+                    adj[a].discard(b)
+                    adj[b].discard(a)
+                    changed = True
+        for e in alive:
+            truss[e] = k
+        k += 1
+    return truss
