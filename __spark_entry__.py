@@ -705,6 +705,72 @@ def _walks_fixed_sql(
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
 
 
+MIS_SEED = 5
+MIS_ORACLE_ROUNDS = 8  # Luby converges in 3 at sf0.01 / 4 at sf0.1; pads
+
+
+def q_mis_succession(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal independent set over the (undirected view of the)
+    succession graph, deterministic seeded-mix priorities (mis.py).
+    Output covers the full dense domain 0..V-1; isolated ids join the
+    set in round 0 on both sides. The oracle replays each round:
+    priority draw -> local-max test -> member/removed update."""
+    from hoshizora_spark import Graph, maximal_independent_set
+
+    g = Graph.from_edges(_edges_succession(spark, sf_dir))
+    return maximal_independent_set(g, seed=MIS_SEED).members
+
+
+def _mis_fixed_sql(rounds: int = MIS_ORACLE_ROUNDS, seed: int = MIS_SEED) -> str:
+    """Exact replay of mis.py: per round, active vertices draw
+    p = mix(vid, r, seed) (the walks.mix_sql integer mix, DuckDB
+    dialect); v joins the MIS iff (p_v, v) beats every active
+    neighbor's (p_u, u); active neighbors of members become removed.
+    Rounds past convergence are no-ops (empty active set)."""
+    from hoshizora_spark.algorithms.walks import mix_sql
+
+    parts = [
+        f"de AS MATERIALIZED ({_SUCCESSION_SQL})",
+        """und AS MATERIALIZED (
+          SELECT src AS a, dst AS b FROM de WHERE src <> dst
+          UNION SELECT dst, src FROM de WHERE src <> dst)""",
+        """s0 AS MATERIALIZED (
+          SELECT CAST(unnest(range(0,
+                   (SELECT MAX(GREATEST(src, dst)) + 1 FROM de))) AS BIGINT)
+                   AS vid,
+                 0 AS st)""",
+    ]
+    for r in range(rounds):
+        mix = mix_sql("vid", r, seed, dialect="duckdb")
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+              SELECT vid, {mix} AS p FROM s{r} WHERE st = 0)"""
+        )
+        parts.append(
+            f"""m{r} AS MATERIALIZED (
+              SELECT s.vid FROM p{r} s
+              WHERE NOT EXISTS (
+                SELECT 1 FROM und e JOIN p{r} t ON t.vid = e.b
+                WHERE e.a = s.vid
+                  AND (t.p > s.p OR (t.p = s.p AND t.vid > s.vid))))"""
+        )
+        parts.append(
+            f"""s{r + 1} AS MATERIALIZED (
+              SELECT s.vid,
+                     CASE WHEN s.st <> 0 THEN s.st
+                          WHEN s.vid IN (SELECT vid FROM m{r}) THEN 1
+                          WHEN EXISTS (
+                            SELECT 1 FROM und e JOIN m{r} m ON m.vid = e.b
+                            WHERE e.a = s.vid) THEN 2
+                          ELSE 0 END AS st
+              FROM s{r} s)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT vid, CAST(st = 1 AS INT) AS in_mis FROM s{rounds}"
+    )
+
+
 TRUSS_ORACLE_ROUNDS = 20  # Spark converges in 16 at sf0.01; fixpoint pads
 
 
@@ -956,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "random_walks": q_random_walks,
         "k_truss": q_k_truss,
+        "mis_succession": q_mis_succession,
     }
 
 
@@ -1767,6 +1834,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "random_walks": _walks_fixed_sql(),
         "k_truss": _truss_fixed_sql(),
+        "mis_succession": _mis_fixed_sql(),
         "link_prediction": f"""
             WITH de AS MATERIALIZED ({_SUCCESSION_SQL}),
             und AS MATERIALIZED (

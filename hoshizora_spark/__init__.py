@@ -29,6 +29,7 @@ from hoshizora_spark.algorithms.centrality import (
     hits,
 )
 from hoshizora_spark.algorithms.linkpred import link_prediction
+from hoshizora_spark.algorithms.mis import maximal_independent_set
 from hoshizora_spark.algorithms.scc import strongly_connected_components
 from hoshizora_spark.algorithms.walks import random_walks, walks_as_sentences
 from hoshizora_spark.algorithms.sssp import sssp_distances, sssp_distances_csr
@@ -63,6 +64,7 @@ __all__ = [
     "bfs_distances_csr",
     "link_prediction",
     "k_truss",
+    "maximal_independent_set",
     "strongly_connected_components",
     "random_walks",
     "walks_as_sentences",

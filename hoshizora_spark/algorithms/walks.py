@@ -60,6 +60,22 @@ MAX_SEED = 10_000
 MAX_WALK_LENGTH = 1_000
 
 
+def mix_sql(entity: str, step: int, seed: int, dialect: str = "spark") -> str:
+    """The multiply-xor-shift mix as SQL over an integer column
+    ``entity`` — the same integer ops in both dialects (only the XOR
+    spelling differs). Non-negative, < 2^63; shared by the walk sampler
+    here and the Luby MIS priorities (mis.py)."""
+    x = (
+        f"((({entity}) % 2147483647 + 1) * 2654435761"
+        f" + ({step} + {seed} * 10007 + 1) * 2246822519)"
+    )
+    if dialect == "spark":
+        return f"(({x}) ^ (shiftright({x}, 33)))"
+    if dialect == "duckdb":
+        return f"xor(({x}), (({x}) >> 33))"
+    raise ValueError(f"unknown dialect {dialect!r}")
+
+
 def walk_pick_sql(
     step: int,
     seed: int,
@@ -67,17 +83,11 @@ def walk_pick_sql(
     deg: str = "deg",
     dialect: str = "spark",
 ) -> str:
-    """The sampler as SQL over columns ``walk_id`` and ``deg``; the same
-    integer ops in both dialects (only the XOR spelling differs)."""
-    x = (
-        f"((({walk_id}) % 2147483647 + 1) * 2654435761"
-        f" + ({step} + {seed} * 10007 + 1) * 2246822519)"
-    )
+    """The sampler as SQL over columns ``walk_id`` and ``deg``."""
+    h = mix_sql(walk_id, step, seed, dialect)
     if dialect == "spark":
-        return f"pmod(({x}) ^ (shiftright({x}, 33)), ({deg}))"
-    if dialect == "duckdb":
-        return f"(xor(({x}), (({x}) >> 33)) % ({deg}))"
-    raise ValueError(f"unknown dialect {dialect!r}")
+        return f"pmod({h}, ({deg}))"
+    return f"({h} % ({deg}))"
 
 
 @dataclass

@@ -446,3 +446,39 @@ def k_truss(
             truss[e] = k
         k += 1
     return truss
+
+
+def luby_mis(
+    edges: list[tuple[int, int]], seed: int, num_vertices: int | None = None
+) -> np.ndarray:
+    """0/1 MIS membership replaying mis.py's deterministic Luby rounds:
+    per-round priority = mix(vid, round, seed), tie-break by vid."""
+    V = num_vertices_of(edges) if num_vertices is None else num_vertices
+    und = _undirected_simple(edges)
+    adj: dict[int, set[int]] = {v: set() for v in range(V)}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def mix(vid: int, step: int) -> int:
+        x = (vid % 2147483647 + 1) * 2654435761 + (step + seed * 10007 + 1) * 2246822519
+        return x ^ (x >> 33)
+
+    st = np.zeros(V, dtype=np.int64)  # 0 active, 1 mis, 2 removed
+    r = 0
+    while (st == 0).any():
+        p = {v: (mix(v, r), v) for v in range(V) if st[v] == 0}
+        mis = [
+            v
+            for v in p
+            if all(st[u] != 0 or p[u] < p[v] for u in adj[v])
+        ]
+        for v in mis:
+            st[v] = 1
+        for v in mis:
+            for u in adj[v]:
+                if st[u] == 0:
+                    st[u] = 2
+        r += 1
+        assert r <= 10_000, "luby oracle failed to converge"
+    return (st == 1).astype(np.int64)
