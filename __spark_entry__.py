@@ -771,6 +771,81 @@ def _mis_fixed_sql(rounds: int = MIS_ORACLE_ROUNDS, seed: int = MIS_SEED) -> str
     )
 
 
+BETWEENNESS_LEVELS = 10  # undirected succession ecc is 7 at sf0.01; pads
+
+
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Brandes betweenness (all sources, undirected, non-normalized
+    halved contract) over the succession graph (betweenness.py). The
+    oracle unrolls both phases: a 10-level multi-source BFS+sigma ladder,
+    then the dependency recurrence back down the same ladder."""
+    from hoshizora_spark import Graph, betweenness_centrality
+
+    g = Graph.from_edges(_edges_succession(spark, sf_dir))
+    return betweenness_centrality(g, round_dp=6).centrality
+
+
+def _betweenness_fixed_sql(levels: int = BETWEENNESS_LEVELS) -> str:
+    """Exact replay of betweenness.py: forward level h reaches each
+    (source, vertex) pair once with the full shortest-path count (all
+    predecessors sit one layer down), backward level h finalizes
+    delta = sigma * SUM over successors of (1+delta)/sigma. Levels past
+    the eccentricity are empty no-ops."""
+    parts = [
+        f"de AS MATERIALIZED ({_SUCCESSION_SQL})",
+        """und AS MATERIALIZED (
+          SELECT src AS a, dst AS b FROM de WHERE src <> dst
+          UNION SELECT dst, src FROM de WHERE src <> dst)""",
+        """vx AS MATERIALIZED (
+          SELECT CAST(unnest(range(0,
+                   (SELECT MAX(GREATEST(src, dst)) + 1 FROM de))) AS BIGINT)
+                   AS vid)""",
+        "l0 AS MATERIALIZED (SELECT vid AS s, vid AS v, CAST(1 AS DOUBLE) AS sigma FROM vx)",
+        "r0 AS MATERIALIZED (SELECT s, v FROM l0)",
+    ]
+    for h in range(1, levels + 1):
+        parts.append(
+            f"""l{h} AS MATERIALIZED (
+              SELECT p.s, e.b AS v, SUM(p.sigma) AS sigma
+              FROM l{h - 1} p JOIN und e ON e.a = p.v
+              WHERE NOT EXISTS (
+                SELECT 1 FROM r{h - 1} x WHERE x.s = p.s AND x.v = e.b)
+              GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""r{h} AS MATERIALIZED (
+              SELECT s, v FROM r{h - 1} UNION ALL SELECT s, v FROM l{h})"""
+        )
+    parts.append(
+        f"d{levels} AS MATERIALIZED ("
+        f"SELECT s, v, sigma, CAST(0 AS DOUBLE) AS delta FROM l{levels})"
+    )
+    for h in range(levels - 1, -1, -1):
+        parts.append(
+            f"""c{h} AS MATERIALIZED (
+              SELECT w.s, e.a AS v, SUM((1.0 + w.delta) / w.sigma) AS w8
+              FROM d{h + 1} w JOIN und e ON e.b = w.v
+              GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""d{h} AS MATERIALIZED (
+              SELECT l.s, l.v, l.sigma,
+                     l.sigma * COALESCE(c.w8, 0) AS delta
+              FROM l{h} l LEFT JOIN c{h} c ON c.s = l.s AND c.v = l.v)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT v, delta FROM d{h}" for h in range(1, levels + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""",
+        dd AS MATERIALIZED ({union})
+        SELECT vx.vid, ROUND(COALESCE(SUM(dd.delta), 0) / 2, 6) AS betweenness
+        FROM vx LEFT JOIN dd ON dd.v = vx.vid
+        GROUP BY vx.vid"""
+    )
+
+
 TRUSS_ORACLE_ROUNDS = 20  # Spark converges in 16 at sf0.01; fixpoint pads
 
 
@@ -1023,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "k_truss": q_k_truss,
         "mis_succession": q_mis_succession,
+        "betweenness_succession": q_betweenness,
     }
 
 
@@ -1835,6 +1911,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": _walks_fixed_sql(),
         "k_truss": _truss_fixed_sql(),
         "mis_succession": _mis_fixed_sql(),
+        "betweenness_succession": _betweenness_fixed_sql(),
         "link_prediction": f"""
             WITH de AS MATERIALIZED ({_SUCCESSION_SQL}),
             und AS MATERIALIZED (

@@ -28,6 +28,7 @@ from hoshizora_spark.algorithms.centrality import (
     harmonic_centrality_hll,
     hits,
 )
+from hoshizora_spark.algorithms.betweenness import betweenness_centrality
 from hoshizora_spark.algorithms.linkpred import link_prediction
 from hoshizora_spark.algorithms.mis import maximal_independent_set
 from hoshizora_spark.algorithms.scc import strongly_connected_components
@@ -62,6 +63,7 @@ __all__ = [
     "symmetrize",
     "bfs_distances",
     "bfs_distances_csr",
+    "betweenness_centrality",
     "link_prediction",
     "k_truss",
     "maximal_independent_set",

@@ -482,3 +482,71 @@ def luby_mis(
         r += 1
         assert r <= 10_000, "luby oracle failed to converge"
     return (st == 1).astype(np.int64)
+
+
+def brandes_betweenness(
+    edges: list[tuple[int, int]],
+    directed: bool = False,
+    sample_mod: int | None = None,
+    seed: int = 0,
+    num_vertices: int | None = None,
+) -> np.ndarray:
+    """Exact/sampled Brandes replaying betweenness.py's semantics:
+    deterministic mix-sampled sources, V/|S| pivot scaling, halved when
+    undirected (non-normalized NetworkX contract)."""
+    from collections import deque
+
+    V = num_vertices_of(edges) if num_vertices is None else num_vertices
+    adj: dict[int, set[int]] = {v: set() for v in range(V)}
+    if directed:
+        for a, b in edges:
+            if a != b:
+                adj[a].add(b)
+    else:
+        for a, b in _undirected_simple(edges):
+            adj[a].add(b)
+            adj[b].add(a)
+
+    def mix(vid: int, step: int) -> int:
+        x = (vid % 2147483647 + 1) * 2654435761 + (step + seed * 10007 + 1) * 2246822519
+        return x ^ (x >> 33)
+
+    if sample_mod is not None and sample_mod > 1:
+        sources = [v for v in range(V) if mix(v, 0) % sample_mod == 0]
+    else:
+        sources = list(range(V))
+
+    bc = np.zeros(V)
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        order = []
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            order.append(u)
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    sigma[w] = 0.0
+                    dq.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+        preds: dict[int, list[int]] = {v: [] for v in order}
+        for u in order:
+            for w in adj[u]:
+                if dist[w] == dist[u] + 1:
+                    preds[w].append(u)
+        delta = {v: 0.0 for v in order}
+        for w in reversed(order):
+            for u in preds[w]:
+                delta[u] += sigma[u] / sigma[w] * (1.0 + delta[w])
+        for v in order:
+            if v != s:
+                bc[v] += delta[v]
+    if not sources:
+        return bc
+    scale = V / len(sources)
+    if not directed:
+        scale /= 2.0
+    return bc * scale
