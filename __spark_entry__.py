@@ -771,6 +771,85 @@ def _mis_fixed_sql(rounds: int = MIS_ORACLE_ROUNDS, seed: int = MIS_SEED) -> str
     )
 
 
+COLORING_ROUNDS = 18  # greedy coloring converges in 13 at sf0.01; pads
+
+
+def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic greedy coloring of the succession graph
+    (coloring.py): local-max mix priority wins, winner takes
+    mex(neighbor colors). 6 colors / 13 rounds at sf0.01; the oracle
+    replays every round."""
+    from hoshizora_spark import Graph, greedy_coloring
+
+    g = Graph.from_edges(_edges_succession(spark, sf_dir))
+    return greedy_coloring(g, seed=MIS_SEED).colors
+
+
+def _coloring_fixed_sql(rounds: int = COLORING_ROUNDS, seed: int = 5) -> str:
+    """Exact replay of coloring.py: per round, uncolored vertices draw
+    p = mix(vid, r, seed); local (p, vid) maxima among uncolored
+    neighbors win; each winner takes the smallest color not used by a
+    colored neighbor (candidates 0..#distinct-neighbor-colors). Rounds
+    past convergence are no-ops."""
+    from hoshizora_spark.algorithms.walks import mix_sql
+
+    parts = [
+        f"de AS MATERIALIZED ({_SUCCESSION_SQL})",
+        """und AS MATERIALIZED (
+          SELECT src AS a, dst AS b FROM de WHERE src <> dst
+          UNION SELECT dst, src FROM de WHERE src <> dst)""",
+        """s0 AS MATERIALIZED (
+          SELECT CAST(unnest(range(0,
+                   (SELECT MAX(GREATEST(src, dst)) + 1 FROM de))) AS BIGINT)
+                   AS vid,
+                 CAST(NULL AS BIGINT) AS color)""",
+    ]
+    for r in range(rounds):
+        mix = mix_sql("vid", r, seed, dialect="duckdb")
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+              SELECT vid, {mix} AS p FROM s{r} WHERE color IS NULL)"""
+        )
+        parts.append(
+            f"""w{r} AS MATERIALIZED (
+              SELECT s.vid FROM p{r} s
+              WHERE NOT EXISTS (
+                SELECT 1 FROM und e JOIN p{r} t ON t.vid = e.b
+                WHERE e.a = s.vid
+                  AND (t.p > s.p OR (t.p = s.p AND t.vid > s.vid))))"""
+        )
+        parts.append(
+            f"""nc{r} AS MATERIALIZED (
+              SELECT DISTINCT w.vid, s.color
+              FROM w{r} w JOIN und e ON e.a = w.vid
+              JOIN s{r} s ON s.vid = e.b
+              WHERE s.color IS NOT NULL)"""
+        )
+        parts.append(
+            f"""mx{r} AS MATERIALIZED (
+              SELECT vid, MIN(cand) AS c FROM (
+                SELECT w.vid,
+                       unnest(range(0, COALESCE(n.cnt, 0) + 1)) AS cand
+                FROM w{r} w LEFT JOIN (
+                  SELECT vid, COUNT(*) AS cnt FROM nc{r} GROUP BY vid
+                ) n ON n.vid = w.vid
+              ) cd
+              WHERE NOT EXISTS (
+                SELECT 1 FROM nc{r} u
+                WHERE u.vid = cd.vid AND u.color = cd.cand)
+              GROUP BY vid)"""
+        )
+        parts.append(
+            f"""s{r + 1} AS MATERIALIZED (
+              SELECT s.vid, COALESCE(s.color, m.c) AS color
+              FROM s{r} s LEFT JOIN mx{r} m ON m.vid = s.vid)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT vid, CAST(color AS INT) AS color FROM s{rounds}"
+    )
+
+
 BETWEENNESS_LEVELS = 10  # undirected succession ecc is 7 at sf0.01; pads
 
 
@@ -1099,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_truss": q_k_truss,
         "mis_succession": q_mis_succession,
         "betweenness_succession": q_betweenness,
+        "coloring_succession": q_coloring,
     }
 
 
@@ -1912,6 +1992,7 @@ def oracle_sql() -> dict[str, str]:
         "k_truss": _truss_fixed_sql(),
         "mis_succession": _mis_fixed_sql(),
         "betweenness_succession": _betweenness_fixed_sql(),
+        "coloring_succession": _coloring_fixed_sql(),
         "link_prediction": f"""
             WITH de AS MATERIALIZED ({_SUCCESSION_SQL}),
             und AS MATERIALIZED (

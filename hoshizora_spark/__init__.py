@@ -30,6 +30,7 @@ from hoshizora_spark.algorithms.centrality import (
 )
 from hoshizora_spark.algorithms.betweenness import betweenness_centrality
 from hoshizora_spark.algorithms.linkpred import link_prediction
+from hoshizora_spark.algorithms.coloring import greedy_coloring
 from hoshizora_spark.algorithms.mis import maximal_independent_set
 from hoshizora_spark.algorithms.scc import strongly_connected_components
 from hoshizora_spark.algorithms.walks import random_walks, walks_as_sentences
@@ -66,6 +67,7 @@ __all__ = [
     "betweenness_centrality",
     "link_prediction",
     "k_truss",
+    "greedy_coloring",
     "maximal_independent_set",
     "strongly_connected_components",
     "random_walks",
