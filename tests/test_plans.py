@@ -280,3 +280,70 @@ def test_walks_step_plan_shape(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_mis_superstep_plan_shape(spark, monkeypatch):
+    """The MIS round: Python-free, no CartesianProduct, every per-edge
+    join hinted (broadcast in the small-V regime — sort-merge would
+    re-sort the persisted E-row side every round)."""
+    import hoshizora_spark.algorithms.mis as M
+
+    captured = {}
+    real = M.bsp_loop
+
+    def spy(spark_, **kw):
+        captured["plan"] = _plan(kw["step"](kw["init"](), 0))
+        return real(spark_, **kw)
+
+    monkeypatch.setattr(M, "bsp_loop", spy)
+    M.maximal_independent_set(_graph(spark), seed=1)
+    plan = captured["plan"]
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_coloring_superstep_plan_shape(spark, monkeypatch):
+    """The coloring round folds BOTH neighbor channels (uncolored
+    priorities + colored colors) and the carrier in ONE hash aggregate:
+    Python-free, hinted joins, and exactly one final-mode aggregate over
+    the union."""
+    import hoshizora_spark.algorithms.coloring as C
+
+    captured = {}
+    real = C.bsp_loop
+
+    def spy(spark_, **kw):
+        captured["plan"] = _plan(kw["step"](kw["init"](), 0))
+        return real(spark_, **kw)
+
+    monkeypatch.setattr(C, "bsp_loop", spy)
+    C.greedy_coloring(_graph(spark), seed=1)
+    plan = captured["plan"]
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_betweenness_forward_plan_shape(spark, monkeypatch):
+    """The Brandes forward superstep is the engine's standard one-fold
+    shape: frontier messages + state carrier into a single
+    groupBy(vid, src) hash agg; Python-free, hinted join."""
+    import hoshizora_spark.algorithms.betweenness as B
+
+    captured = {}
+    real = B.bsp_loop
+
+    def spy(spark_, **kw):
+        captured["plan"] = _plan(kw["step"](kw["init"](), 0))
+        return real(spark_, **kw)
+
+    monkeypatch.setattr(B, "bsp_loop", spy)
+    B.betweenness_centrality(_graph(spark))
+    plan = captured["plan"]
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
