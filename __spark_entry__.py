@@ -771,6 +771,112 @@ def _mis_fixed_sql(rounds: int = MIS_ORACLE_ROUNDS, seed: int = MIS_SEED) -> str
     )
 
 
+MSF_ROUNDS = 6  # Borůvka converges in 3 at sf0.01; ceil(log2 V) = 7 bound
+MSF_JUMPS = 7  # pointer-jump depth per round: 2^7 = 128 >= V at sf0.01
+def _msf_weight_sql(dialect: str) -> str:
+    """Deterministic per-edge weight: the shared integer mix over the
+    canonical pair id, folded to [0, 100000) — identical arithmetic in
+    both dialects."""
+    from hoshizora_spark.algorithms.walks import mix_sql
+
+    return f"CAST({mix_sql('(a * 1000003 + b)', 0, 0, dialect)} % 100000 AS DOUBLE)"
+
+
+def q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borůvka minimum spanning forest of the succession graph under
+    deterministic mix weights (msf.py); the oracle replays hook +
+    2-cycle break + pointer jumping round by round — and the engine is
+    separately Kruskal-checked in tests/test_msf.py, so the two
+    algorithms must agree edge-for-edge under the (w, a, b) order."""
+    from hoshizora_spark import Graph, minimum_spanning_forest
+
+    e = _edges_succession(spark, sf_dir)
+    und = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .withColumn("w", F.expr(_msf_weight_sql("spark")))
+    )
+    g = Graph.from_edges(
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w"),
+        extra_cols=("w",),
+    )
+    return minimum_spanning_forest(g, weight_col="w").edges
+
+
+def _msf_fixed_sql(rounds: int = MSF_ROUNDS, jumps: int = MSF_JUMPS) -> str:
+    """Borůvka unrolled: per round every component takes MIN over the
+    lexicographic [w, a, b, other-comp] list of its incident cross
+    edges, hooks onto the other side, mutual pairs root at the smaller
+    id, and pointer jumping relabels. Rounds past convergence are empty
+    no-ops."""
+    parts = [
+        f"de AS MATERIALIZED ({_SUCCESSION_SQL})",
+        f"""ed AS MATERIALIZED (
+          SELECT a, b, {_msf_weight_sql('duckdb')} AS w FROM (
+            SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM de WHERE src <> dst GROUP BY 1, 2))""",
+        """c0 AS MATERIALIZED (
+          SELECT CAST(unnest(range(0,
+                   (SELECT MAX(GREATEST(src, dst)) + 1 FROM de))) AS BIGINT)
+                   AS vid,
+                 CAST(unnest(range(0,
+                   (SELECT MAX(GREATEST(src, dst)) + 1 FROM de))) AS BIGINT)
+                   AS c)""",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""l{r} AS MATERIALIZED (
+              SELECT c1.c AS cu, c2.c AS cv, e.w, e.a, e.b
+              FROM ed e JOIN c{r} c1 ON c1.vid = e.a
+                        JOIN c{r} c2 ON c2.vid = e.b
+              WHERE c1.c <> c2.c)"""
+        )
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+              SELECT cu, MIN([w, CAST(a AS DOUBLE), CAST(b AS DOUBLE),
+                              CAST(cv AS DOUBLE)]) AS k
+              FROM (SELECT cu, cv, w, a, b FROM l{r}
+                    UNION ALL SELECT cv, cu, w, a, b FROM l{r})
+              GROUP BY cu)"""
+        )
+        parts.append(
+            f"""h{r} AS MATERIALIZED (
+              SELECT cu, CAST(k[4] AS BIGINT) AS p,
+                     CAST(k[2] AS BIGINT) AS ea, CAST(k[3] AS BIGINT) AS eb,
+                     CAST(k[1] AS DOUBLE) AS ew
+              FROM s{r})"""
+        )
+        parts.append(
+            f"""j{r}_0 AS MATERIALIZED (
+              SELECT h1.cu,
+                     CASE WHEN h2.p = h1.cu AND h1.cu < h1.p THEN h1.cu
+                          ELSE h1.p END AS p
+              FROM h{r} h1 LEFT JOIN h{r} h2 ON h2.cu = h1.p)"""
+        )
+        for k in range(1, jumps + 1):
+            parts.append(
+                f"""j{r}_{k} AS MATERIALIZED (
+                  SELECT x.cu, COALESCE(y.p, x.p) AS p
+                  FROM j{r}_{k - 1} x LEFT JOIN j{r}_{k - 1} y ON y.cu = x.p)"""
+            )
+        parts.append(
+            f"""c{r + 1} AS MATERIALIZED (
+              SELECT cm.vid, COALESCE(j.p, cm.c) AS c
+              FROM c{r} cm LEFT JOIN j{r}_{jumps} j ON j.cu = cm.c)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT ea, eb, ew FROM h{r}" for r in range(rounds)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+        SELECT DISTINCT ea AS a, eb AS b, ew AS w FROM ({union})"""
+    )
+
+
 COLORING_ROUNDS = 18  # greedy coloring converges in 13 at sf0.01; pads
 
 
@@ -1179,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_succession": q_mis_succession,
         "betweenness_succession": q_betweenness,
         "coloring_succession": q_coloring,
+        "msf_succession": q_msf,
     }
 
 
@@ -1993,6 +2100,7 @@ def oracle_sql() -> dict[str, str]:
         "mis_succession": _mis_fixed_sql(),
         "betweenness_succession": _betweenness_fixed_sql(),
         "coloring_succession": _coloring_fixed_sql(),
+        "msf_succession": _msf_fixed_sql(),
         "link_prediction": f"""
             WITH de AS MATERIALIZED ({_SUCCESSION_SQL}),
             und AS MATERIALIZED (

@@ -32,6 +32,7 @@ from hoshizora_spark.algorithms.betweenness import betweenness_centrality
 from hoshizora_spark.algorithms.linkpred import link_prediction
 from hoshizora_spark.algorithms.coloring import greedy_coloring
 from hoshizora_spark.algorithms.mis import maximal_independent_set
+from hoshizora_spark.algorithms.msf import minimum_spanning_forest
 from hoshizora_spark.algorithms.scc import strongly_connected_components
 from hoshizora_spark.algorithms.walks import random_walks, walks_as_sentences
 from hoshizora_spark.algorithms.sssp import sssp_distances, sssp_distances_csr
@@ -69,6 +70,7 @@ __all__ = [
     "k_truss",
     "greedy_coloring",
     "maximal_independent_set",
+    "minimum_spanning_forest",
     "strongly_connected_components",
     "random_walks",
     "walks_as_sentences",

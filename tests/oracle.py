@@ -582,3 +582,33 @@ def greedy_coloring(
         r += 1
         assert r <= 10_000, "coloring oracle failed to converge"
     return np.array([color[v] for v in range(V)], dtype=np.int64)
+
+
+def kruskal_msf(
+    edges: list[tuple[int, int]],
+    weights: dict[tuple[int, int], float] | None = None,
+    num_vertices: int | None = None,
+) -> set[tuple[int, int, float]]:
+    """Unique MSF under the (w, a, b) total order — the cross-algorithm
+    oracle for msf.py's Borůvka (weights keyed by canonical (lo, hi);
+    None = unit weights)."""
+    V = num_vertices_of(edges) if num_vertices is None else num_vertices
+    und = _undirected_simple(edges)
+    parent = np.arange(V, dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ranked = sorted(
+        (1.0 if weights is None else float(weights[(a, b)]), a, b) for a, b in und
+    )
+    out: set[tuple[int, int, float]] = set()
+    for w, a, b in ranked:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out.add((a, b, w))
+    return out
