@@ -347,3 +347,35 @@ def test_betweenness_forward_plan_shape(spark, monkeypatch):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_msf_round_plan_shape(spark):
+    """One Borůvka selection round: union + min-struct hash aggregate,
+    no Window/CartesianProduct, Python-free."""
+    from hoshizora_spark.algorithms.msf import minimum_spanning_forest  # noqa: F401
+
+    g = _graph(spark)
+    und = (
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.lit(1.0).alias("w"),
+        )
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+    )
+    live = und.select(F.col("a").alias("ca"), F.col("b").alias("cb"), "w", "a", "b")
+    cand = live.select(
+        F.col("ca").alias("cu"), F.struct("w", "a", "b", F.col("cb").alias("cv")).alias("k")
+    ).unionByName(
+        live.select(
+            F.col("cb").alias("cu"), F.struct("w", "a", "b", F.col("ca").alias("cv")).alias("k")
+        )
+    )
+    sel = cand.groupBy("cu").agg(F.min("k").alias("k"))
+    plan = _plan(sel)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
