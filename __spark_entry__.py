@@ -771,6 +771,84 @@ def _mis_fixed_sql(rounds: int = MIS_ORACLE_ROUNDS, seed: int = MIS_SEED) -> str
     )
 
 
+DENSEST_ROUNDS = 8  # peeling converges in 5 at sf0.01 (eps=0.1); pads
+DENSEST_EPS = 0.1
+
+
+def q_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bahmani 2(1+eps)-approx densest subgraph of the succession graph
+    (densest.py, eps=0.1): peel deg <= 2(1+eps)*rho rounds, answer the
+    earliest strictly-densest surviving S (a 44-vertex core, rho 2.955,
+    at sf0.01). The oracle replays each round and selects the argmax
+    round the same way (density DESC, round ASC)."""
+    from hoshizora_spark import Graph, densest_subgraph
+
+    g = Graph.from_edges(_edges_succession(spark, sf_dir))
+    return densest_subgraph(g, eps=DENSEST_EPS).vertices
+
+
+def _densest_fixed_sql(
+    rounds: int = DENSEST_ROUNDS, eps: float = DENSEST_EPS
+) -> str:
+    """Exact replay of densest.py: survivors s{r}, live edges l{r},
+    per-round scalar stats (n, m, rho) as one-row CTEs; the final answer
+    joins the earliest max-density round's survivor set. Rounds after S
+    empties carry rho = -1 and never win."""
+    parts = [
+        f"de AS MATERIALIZED ({_SUCCESSION_SQL})",
+        """ed AS MATERIALIZED (
+          SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM de WHERE src <> dst GROUP BY 1, 2)""",
+        """s0 AS MATERIALIZED (
+          SELECT CAST(unnest(range(0,
+                   (SELECT MAX(GREATEST(src, dst)) + 1 FROM de))) AS BIGINT)
+                   AS vid)""",
+        "l0 AS MATERIALIZED (SELECT a, b FROM ed)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""t{r} AS MATERIALIZED (
+              SELECT (SELECT COUNT(*) FROM s{r}) AS n,
+                     (SELECT COUNT(*) FROM l{r}) AS m)"""
+        )
+        parts.append(
+            f"""g{r} AS MATERIALIZED (
+              SELECT vid, COUNT(*) AS deg FROM (
+                SELECT a AS vid FROM l{r} UNION ALL SELECT b FROM l{r}
+              ) GROUP BY vid)"""
+        )
+        parts.append(
+            f"""s{r + 1} AS MATERIALIZED (
+              SELECT s.vid FROM s{r} s LEFT JOIN g{r} g ON g.vid = s.vid
+              WHERE COALESCE(g.deg, 0) >
+                    2.0 * (1.0 + {eps}) * (SELECT m * 1.0 / n FROM t{r}))"""
+        )
+        parts.append(
+            f"""l{r + 1} AS MATERIALIZED (
+              SELECT l.a, l.b FROM l{r} l
+              WHERE EXISTS (SELECT 1 FROM s{r + 1} s WHERE s.vid = l.a)
+                AND EXISTS (SELECT 1 FROM s{r + 1} s WHERE s.vid = l.b))"""
+        )
+    stats = "\nUNION ALL ".join(
+        f"SELECT {r} AS r, CASE WHEN n > 0 THEN m * 1.0 / n ELSE -1 END AS rho"
+        f" FROM t{r}"
+        for r in range(rounds)
+    )
+    svs = "\nUNION ALL ".join(
+        f"SELECT {r} AS r, vid FROM s{r}" for r in range(rounds)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""",
+        st AS MATERIALIZED ({stats}),
+        bs AS MATERIALIZED (
+          SELECT r, rho FROM st ORDER BY rho DESC, r ASC LIMIT 1),
+        sv AS MATERIALIZED ({svs})
+        SELECT sv.vid, bs.rho AS density
+        FROM sv JOIN bs ON sv.r = bs.r"""
+    )
+
+
 MSF_ROUNDS = 6  # Borůvka converges in 3 at sf0.01; ceil(log2 V) = 7 bound
 MSF_JUMPS = 7  # pointer-jump depth per round: 2^7 = 128 >= V at sf0.01
 def _msf_weight_sql(dialect: str) -> str:
@@ -1286,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_succession": q_betweenness,
         "coloring_succession": q_coloring,
         "msf_succession": q_msf,
+        "densest_succession": q_densest,
     }
 
 
@@ -2101,6 +2180,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_succession": _betweenness_fixed_sql(),
         "coloring_succession": _coloring_fixed_sql(),
         "msf_succession": _msf_fixed_sql(),
+        "densest_succession": _densest_fixed_sql(),
         "link_prediction": f"""
             WITH de AS MATERIALIZED ({_SUCCESSION_SQL}),
             und AS MATERIALIZED (

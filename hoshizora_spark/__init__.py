@@ -31,6 +31,7 @@ from hoshizora_spark.algorithms.centrality import (
 from hoshizora_spark.algorithms.betweenness import betweenness_centrality
 from hoshizora_spark.algorithms.linkpred import link_prediction
 from hoshizora_spark.algorithms.coloring import greedy_coloring
+from hoshizora_spark.algorithms.densest import densest_subgraph
 from hoshizora_spark.algorithms.mis import maximal_independent_set
 from hoshizora_spark.algorithms.msf import minimum_spanning_forest
 from hoshizora_spark.algorithms.scc import strongly_connected_components
@@ -68,6 +69,7 @@ __all__ = [
     "betweenness_centrality",
     "link_prediction",
     "k_truss",
+    "densest_subgraph",
     "greedy_coloring",
     "maximal_independent_set",
     "minimum_spanning_forest",

@@ -612,3 +612,34 @@ def kruskal_msf(
             parent[ra] = rb
             out.add((a, b, w))
     return out
+
+
+def densest_subgraph_peel(
+    edges: list[tuple[int, int]],
+    eps: float = 0.1,
+    num_vertices: int | None = None,
+) -> tuple[float, int, set[int]]:
+    """(density, best_round, S) replaying densest.py's deterministic
+    Bahmani peeling: remove deg <= 2(1+eps)*rho each round, answer is
+    the earliest strictly-densest surviving S."""
+    V = num_vertices_of(edges) if num_vertices is None else num_vertices
+    live = _undirected_simple(edges)
+    S = set(range(V))
+    best = (-1.0, -1, set())
+    r = 0
+    while S:
+        n, m = len(S), len(live)
+        rho = m / n
+        if rho > best[0]:
+            best = (rho, r, set(S))
+        if m == 0:
+            break
+        deg: dict[int, int] = {}
+        for a, b in live:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        thr = 2.0 * (1.0 + eps) * rho
+        S = {v for v in S if deg.get(v, 0) > thr}
+        live = {(a, b) for a, b in live if a in S and b in S}
+        r += 1
+    return best
