@@ -50,18 +50,38 @@ class ColoringResult:
 def greedy_coloring(
     graph: Graph,
     seed: int = 0,
+    degree_order: bool = False,
     max_rounds: int = 200,
     broadcast_vertices: int = 200_000,
 ) -> ColoringResult:
     """Deterministic proper coloring of the undirected simple graph;
-    isolated vertices take color 0 in round 0."""
+    isolated vertices take color 0 in round 0.
+
+    ``degree_order=True`` is Jones-Plassmann largest-degree-first:
+    priority becomes (degree, mix, vid), so hubs resolve immediately and
+    their (mostly mutually non-adjacent) neighborhoods color in the next
+    wave. On hub-skewed graphs this collapses the round count — the 1M-
+    vertex power-law probe (BENCH.md round 5) needs 50 random-priority
+    rounds but far fewer degree-first — at the cost of a static degree
+    join per round (broadcast under ``broadcast_vertices``). Both modes
+    are exactly replayable; the succession-graph oracle pins the default
+    mode."""
     if not (0 <= seed <= MAX_SEED):
         raise ValueError(f"seed must be in [0, {MAX_SEED}] (overflow-safe mix bound)")
     spark = graph.spark
     V = graph.num_vertices
     sym = symmetrize(graph.edges).persist()
+    degv = (
+        cut_lineage(
+            sym.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .withColumnRenamed("src", "vid")
+        )
+        if degree_order
+        else None
+    )
 
-    prio_t = "struct<p:bigint,vid:bigint>"
+    prio_t = "struct<d:bigint,p:bigint,vid:bigint>"
 
     def init() -> DataFrame:
         return graph.vertices().select("vid", F.lit(-1).cast("int").alias("color"))
@@ -70,13 +90,18 @@ def greedy_coloring(
         # two live references to the checkpointed state (colored-color
         # messages + the final update join); the uncolored-priority
         # projection is lineage-cut so it doesn't count as a third
-        pri = cut_lineage(
-            state.filter(F.col("color") == -1).select(
-                "vid", F.expr(mix_sql("vid", it, seed)).alias("p")
-            )
+        unc = state.filter(F.col("color") == -1).select(
+            "vid", F.expr(mix_sql("vid", it, seed)).alias("p")
         )
+        if degv is not None:
+            unc = unc.join(
+                maybe_broadcast(degv, V, broadcast_vertices), "vid", "left"
+            ).select("vid", F.coalesce("d", F.lit(0)).alias("d"), "p")
+        else:
+            unc = unc.select("vid", F.lit(0).cast("long").alias("d"), "p")
+        pri = cut_lineage(unc)
         pri_b = maybe_broadcast(
-            pri.select(F.col("vid").alias("src"), "p"), V, broadcast_vertices
+            pri.select(F.col("vid").alias("src"), "d", "p"), V, broadcast_vertices
         )
         colored_b = maybe_broadcast(
             state.filter(F.col("color") >= 0).select(
@@ -87,7 +112,7 @@ def greedy_coloring(
         )
         unc_msgs = sym.join(pri_b, "src").select(
             F.col("dst").alias("vid"),
-            F.struct("p", F.col("src").alias("vid")).alias("m"),
+            F.struct("d", "p", F.col("src").alias("vid")).alias("m"),
             F.lit(None).cast(prio_t).alias("own"),
             F.lit(None).cast("int").alias("c"),
         )
@@ -100,7 +125,7 @@ def greedy_coloring(
         carrier = pri.select(
             "vid",
             F.lit(None).cast(prio_t).alias("m"),
-            F.struct("p", "vid").alias("own"),
+            F.struct("d", "p", "vid").alias("own"),
             F.lit(None).cast("int").alias("c"),
         )
         fold = (

@@ -643,3 +643,39 @@ def densest_subgraph_peel(
         live = {(a, b) for a, b in live if a in S and b in S}
         r += 1
     return best
+
+
+def greedy_coloring_degree(
+    edges: list[tuple[int, int]], seed: int, num_vertices: int | None = None
+) -> np.ndarray:
+    """degree_order=True replay: priority tuple (deg, mix, vid) —
+    Jones-Plassmann largest-degree-first."""
+    V = num_vertices_of(edges) if num_vertices is None else num_vertices
+    und = _undirected_simple(edges)
+    adj: dict[int, set[int]] = {v: set() for v in range(V)}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def mix(vid: int, step: int) -> int:
+        x = (vid % 2147483647 + 1) * 2654435761 + (step + seed * 10007 + 1) * 2246822519
+        return x ^ (x >> 33)
+
+    color: dict[int, int] = {}
+    r = 0
+    while len(color) < V:
+        p = {
+            v: (len(adj[v]), mix(v, r), v)
+            for v in range(V)
+            if v not in color
+        }
+        win = [v for v in p if all(u in color or p[u] < p[v] for u in adj[v])]
+        for v in win:
+            used = {color[u] for u in adj[v] if u in color}
+            c = 0
+            while c in used:
+                c += 1
+            color[v] = c
+        r += 1
+        assert r <= 10_000, "degree coloring oracle failed to converge"
+    return np.array([color[v] for v in range(V)], dtype=np.int64)

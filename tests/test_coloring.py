@@ -66,3 +66,26 @@ def test_coloring_seed_bound(spark):
     g = Graph.from_edges(edges_from_pairs(spark, [(0, 1)]))
     with pytest.raises(ValueError, match="seed"):
         greedy_coloring(g, seed=10_001)
+
+
+@pytest.mark.parametrize("name", sorted(ALL_FIXTURES))
+def test_coloring_degree_order_matches_replay(spark, name):
+    edges = ALL_FIXTURES[name]
+    g = Graph.from_edges(edges_from_pairs(spark, edges))
+    res = greedy_coloring(g, seed=5, degree_order=True)
+    assert res.converged
+    got = _colors(res, g.num_vertices)
+    want = oracle.greedy_coloring_degree(edges, 5, g.num_vertices)
+    assert (got == want).all(), name
+    _assert_proper_and_compact(edges, got)
+
+
+def test_coloring_degree_order_hub_first(spark):
+    # star: the hub has max degree, wins round 0, leaves all color in
+    # round 1 -> exactly 2 rounds regardless of seed
+    g = Graph.from_edges(edges_from_pairs(spark, [(0, i) for i in range(1, 9)]))
+    for seed in (0, 7):
+        res = greedy_coloring(g, seed=seed, degree_order=True)
+        assert res.rounds == 2
+        got = _colors(res, 9)
+        assert got[0] == 0 and (got[1:] == 1).all()
